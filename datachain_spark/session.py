@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the CDC/analytics engine.
+
+Local mode is the sandbox proxy for a multi-executor cluster; every setting
+here is also correct on a real cluster (AQE, Arrow, UTC, shuffle partitions
+sized to parallelism). The engine itself never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cpus: int | None = None,
+    app_name: str = "datachain_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to 2x cpus (small-data local tuning; a
+    cluster deployment would size this to total cores via spark-submit conf).
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cpus}]"
+        ncores = cpus
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * ncores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used between parallelism levels in bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
