@@ -25,6 +25,7 @@ golden-value generation style (/root/reference/tests/func/test_delta.py).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -314,12 +315,15 @@ def write_feed(spark: SparkSession, spec: FeedSpec, out_dir: str) -> int:
     post.repartition("batch").write.mode("overwrite").partitionBy("batch").parquet(
         os.path.join(out_dir, "v2")
     )
-    n = 0
-    for sub in ("v1", "v2"):
-        d = os.path.join(out_dir, sub)
-        if os.path.isdir(d):
-            n += sum(1 for f in os.listdir(d) if f.startswith("batch="))
-    return n
+    # Binlog/WAL files arrive in order; Spark's file-streaming source picks
+    # files up by modification time, so stamp batch dirs with increasing
+    # mtimes in replay order (parallel writes above leave them interleaved).
+    base = time.time() - 86400
+    dirs = feed_batch_dirs(out_dir)
+    for i, (_, d) in enumerate(dirs):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+    return len(dirs)
 
 
 def feed_batch_dirs(out_dir: str) -> list[tuple[int, str]]:

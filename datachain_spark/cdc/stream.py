@@ -1,0 +1,101 @@
+"""Structured Streaming driver: tail the change feed → foreachBatch merge.
+
+The streaming realization of the north rule: a file-streaming source tails
+the binlog/WAL-style feed directory (ordered by arrival time, as a real
+binlog tailer would be ordered by offset), and every microbatch goes
+through the same exactly-once `apply_batch` as batch replay — Spark's
+checkpoint gives at-least-once microbatch delivery; the (job, epoch)
+ledger + per-bucket high watermarks in the LakeTable manifest turn that
+into exactly-once (the reference's analog is checkpoint skip/continue,
+/root/reference/src/datachain/query/dataset.py:998-1073).
+
+On a real cluster the source would be Kafka/binlog; the contract of
+`apply_batch` (a DataFrame of I/U/D events with monotone lsn per key) is
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datachain_spark.cdc.apply import apply_batch, transcripts_schema_v1
+from datachain_spark.lake.table import LakeTable
+
+
+def event_stream_schema() -> T.StructType:
+    """Widest event schema (v2, incl. `tool`). Pre-evolution files lack the
+    column; the parquet reader null-fills it, and apply_batch drops an
+    all-null unknown column, so the target table still evolves exactly when
+    real `tool` data first arrives."""
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("tool", T.StringType(), True),
+        ]
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    table_root: str,
+    feed_dir: str,
+    checkpoint_dir: str,
+    job_id: str = "stream",
+    num_buckets: int = 32,
+    max_files_per_trigger: int = 1,
+    normalize: bool = True,
+    fail_before_epoch: int | None = None,
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> tuple[LakeTable, list[dict[str, Any]]]:
+    """Run the feed to exhaustion (Trigger.AvailableNow). Returns the table
+    and per-microbatch metrics. `fail_before_epoch` injects a crash before
+    that epoch's merge commits — the resume test's kill switch."""
+    if LakeTable.exists(table_root):
+        table = LakeTable(table_root)
+    else:
+        table = LakeTable.create(table_root, transcripts_schema_v1(), num_buckets=num_buckets)
+
+    metrics: list[dict[str, Any]] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if fail_before_epoch is not None and epoch_id >= fail_before_epoch:
+            raise RuntimeError(f"injected crash before epoch {epoch_id}")
+        t0 = time.monotonic()
+        m = apply_batch(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            job_id=job_id,
+            batch_id=epoch_id,
+            normalize=normalize,
+        )
+        m["epoch_id"] = epoch_id
+        m["seconds"] = time.monotonic() - t0
+        metrics.append(m)
+        if on_batch:
+            on_batch(epoch_id, m)
+
+    stream = (
+        spark.readStream.schema(event_stream_schema())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(os.path.join(feed_dir, "v*", "batch=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table, metrics

@@ -1,0 +1,59 @@
+"""Structured Streaming CDC: full tail-to-table run equals the oracle, and
+a mid-stream crash + restart from the Spark checkpoint converges to the
+same state (mirrors /root/reference/tests/func/checkpoints/
+test_checkpoint_recovery.py at the microbatch level)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.streaming import StreamingQueryException
+
+from datachain_spark.cdc.feed import FeedSpec, write_feed
+from datachain_spark.cdc.normalize import normalize_text
+from datachain_spark.cdc.oracle import oracle_replay
+from datachain_spark.cdc.stream import run_stream
+
+SPEC = FeedSpec(n_convs=30, hot_every=1000, hot_base=50, batch_size=120)
+
+
+@pytest.fixture(scope="module")
+def feed_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sfeed"))
+    write_feed(spark, SPEC, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    return [
+        (c, t, r, normalize_text(x), tool) for (c, t, r, x, tool) in oracle_replay(SPEC)
+    ]
+
+
+def final_state(spark, table):
+    df = table.read(spark)
+    rows = []
+    for r in df.collect():
+        d = r.asDict()
+        d.setdefault("tool", None)
+        rows.append((d["conv_id"], d["turn_idx"], d["role"], d["text"], d["tool"]))
+    return sorted(rows, key=lambda x: (x[0], x[1]))
+
+
+def test_stream_full_run_matches_oracle(spark, feed_dir, oracle_rows, tmp_path):
+    table, metrics = run_stream(
+        spark, str(tmp_path / "t"), feed_dir, str(tmp_path / "ckpt"), num_buckets=8
+    )
+    assert final_state(spark, table) == oracle_rows
+    assert len([m for m in metrics if "version" in m]) >= 3  # genuinely microbatched
+    assert all(m["seconds"] > 0 for m in metrics)
+
+
+def test_stream_crash_resume(spark, feed_dir, oracle_rows, tmp_path):
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    with pytest.raises(StreamingQueryException):
+        run_stream(spark, root, feed_dir, ckpt, num_buckets=8, fail_before_epoch=2)
+    # restart from the same checkpoint — replayed epochs are absorbed by the
+    # ledger/watermarks; the stream finishes the remaining files
+    table, metrics = run_stream(spark, root, feed_dir, ckpt, num_buckets=8)
+    assert final_state(spark, table) == oracle_rows
