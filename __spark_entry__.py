@@ -1,38 +1,505 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps operator-inventory entries (SURVEY.md §2) to DataFrame
+builders; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL the driver
+compares against at sf=0.01 (row-count + schema + value-hash). Float
+aggregates are rounded identically on both sides so parallel-sum ulp noise
+cannot flip the hash.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship: CDC replay (the north-star pipeline) — deterministic feed sized
+# by scale factor, applied through the exactly-once merge engine
+# --------------------------------------------------------------------------
+def _cdc_spec(sf_dir: str):
+    from datachain_spark.cdc.feed import FeedSpec
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_convs = {"0.001": 30, "0.01": 120, "0.1": 600}.get(sf, 30)
+    return FeedSpec(n_convs=n_convs, hot_every=100, hot_base=200, batch_size=2000)
+
+
+def cdc_transcripts_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feed replay -> final transcripts table (versioned LakeTable,
+    exactly-once ledger, LWW, schema evolution). Non-SQL-expressible end to
+    end (versioned merge engine) -> rows-only driver check; pytest holds
+    the strong oracle (tests/test_cdc_replay.py)."""
+    from datachain_spark.cdc.apply import replay_feed_dir
+    from datachain_spark.cdc.feed import write_feed
+
+    spec = _cdc_spec(sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    write_feed(spark, spec, os.path.join(work, "feed"))
+    table, _ = replay_feed_dir(
+        spark, os.path.join(work, "table"), os.path.join(work, "feed"), num_buckets=16
+    )
+    df = table.read(spark)
+    return df.select("conv_id", "turn_idx", "role", "text", "tool").orderBy(
+        "conv_id", "turn_idx"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: CDC replay final state."""
+    return cdc_transcripts_final(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# relational operator surface (SURVEY.md §2.3-2.8)
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2002-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def merge_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataChain merge() semantics: left-outer equi-join with right-side
+    column renaming (reference datachain.py:1734-1841)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_name").alias("right_c_name"),
+        F.col("c_mktsegment").alias("right_c_mktsegment"),
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_outer")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "right_c_name", "right_c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+def union_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 150000)
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("o_orderkey").alias("n_distinct"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def subtract_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subtract() = null-safe left anti join (reference warehouse.py:1095-1136)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey.eqNullSafe(big.o_custkey), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classifier A/D/M/S between two synthetic snapshots of `events`
+    (reference diff/__init__.py:27-163)."""
+    from datachain_spark.diff import diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    old = ev
+    new = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.round(F.col("value") + 1.0, 2)).otherwise(
+            F.col("value")
+        ),
+    )
+    inserted = ev.select(
+        (F.col("event_id") + 1_000_000).alias("event_id"), "user_id", "event_type", "value"
+    ).filter(F.col("event_id") % 7 == 1)
+    new = new.unionByName(inserted)
+    d = diff(new, old, on=["event_id"], compare=["value"])
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).orderBy("diff_status")
+
+
+def window_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per key over (ts, id) — the CDC dedup idiom as a
+    standalone query (north rule: row_number over desc ts/LSN)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+def agg_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect()/concat() aggregate functions with deterministic ordering
+    (reference func/aggregate.py:9-265)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("type_seq"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def mutate_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate() with string/conditional/JSON scalar functions
+    (reference func/string.py, func/conditional.py)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.length("event_type").alias("type_len"),
+        F.upper("event_type").alias("type_upper"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.get_json_object("props", "$.k").alias("prop_k"),
+        F.greatest(F.round("value", 2), F.lit(10.0)).alias("val_floor10"),
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("val_band"),
+    ).orderBy("event_id")
+
+
+def distinct_on_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct(*cols) keeping the lowest event per key (reference
+    SQLDistinct keeps one row per key — we pin which one for determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachain_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachain_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    return (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            "n_chars_m",
+            "n_tokens",
+            F.round("avg_token_len", 4).alias("avg_token_len"),
+            F.round("punct_ratio", 4).alias("punct_ratio"),
+            "distinct_stopwords",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachain_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachain_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachain_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, queries, k=3)
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 3).alias("cos_sim"), "rk"
+    ).orderBy("q_id", "rk")
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64-based signatures are not
+    reproducible in DuckDB -> rows-only driver check; pytest asserts exact
+    duplicate pairs are found on a known corpus)."""
+    from datachain_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(docs, threshold=0.9).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only check — xxhash64 not in DuckDB)."""
+    from datachain_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_transcripts_final": cdc_transcripts_final,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "merge_left_outer": merge_left_outer,
+        "union_chains": union_chains,
+        "subtract_anti": subtract_anti,
+        "diff_status": diff_status,
+        "window_lww": window_lww,
+        "window_topk_per_group": window_topk_per_group,
+        "agg_collect_concat": agg_collect_concat,
+        "mutate_scalar_funcs": mutate_scalar_funcs,
+        "distinct_on_keys": distinct_on_keys,
+        "sessionize": sessionize,
+        "dedup_exact": dedup_exact,
+        "text_quality": text_quality,
+        "lang_id_heuristic": lang_id_heuristic,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "'the','and','of','to','a','in','is','it','that','for'"
+_ES = "'el','la','de','que','y','en','un','es','se','no'"
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "merge_left_outer": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   c_name AS right_c_name, c_mktsegment AS right_c_mktsegment
+            FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "union_chains": """
+            SELECT o_orderpriority, count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct
+            FROM (
+              SELECT * FROM orders WHERE o_totalprice > 150000
+              UNION ALL
+              SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+            ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "subtract_anti": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "diff_status": """
+            WITH old AS (SELECT event_id, user_id, event_type, value FROM events),
+            new AS (
+              SELECT event_id, user_id, event_type,
+                     CASE WHEN event_id % 3 = 0 THEN round(value + 1.0, 2) ELSE value END AS value
+              FROM events WHERE event_id % 5 <> 0
+              UNION ALL
+              SELECT event_id + 1000000, user_id, event_type, value FROM events
+              WHERE (event_id + 1000000) % 7 = 1
+            )
+            SELECT CASE WHEN old.event_id IS NULL THEN 'A'
+                        WHEN new.event_id IS NULL THEN 'D'
+                        WHEN new.value IS DISTINCT FROM old.value THEN 'M'
+                        ELSE 'S' END AS diff_status,
+                   count(*) AS n
+            FROM new FULL OUTER JOIN old ON new.event_id = old.event_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "window_lww": """
+            SELECT user_id, event_id, event_type, round(value, 2) AS value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
+        """,
+        "window_topk_per_group": """
+            SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+            FROM part
+            QUALIFY rk <= 3 ORDER BY p_brand, rk
+        """,
+        "agg_collect_concat": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+            FROM events WHERE user_id < 20
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "mutate_scalar_funcs": """
+            SELECT event_id,
+                   length(event_type) AS type_len,
+                   upper(event_type) AS type_upper,
+                   regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled,
+                   props->>'k' AS prop_k,
+                   greatest(round(value, 2), 10.0) AS val_floor10,
+                   CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS val_band
+            FROM events WHERE event_id < 2000 ORDER BY event_id
+        """,
+        "distinct_on_keys": """
+            SELECT user_id, event_type, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) = 1
+            ORDER BY user_id, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "dedup_exact": f"""
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) = 1
+            ORDER BY doc_id
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))
+                         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+                     AS avg_token_len,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      [{_EN}])) AS distinct_stopwords
+            FROM documents WHERE doc_id < 3000 ORDER BY doc_id
+        """,
+        "lang_id_heuristic": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), [{_EN}])) AS en,
+                     len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), [{_ES}])) AS es
+              FROM documents
+            )
+            SELECT CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+            WHERE doc_id < 2000 ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, vec_id, round(sim, 3) AS cos_sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+            FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk
+        """,
+    }

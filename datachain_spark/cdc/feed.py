@@ -66,6 +66,10 @@ class FeedSpec:
     hot_every: int = 1000  # conversation i is "hot" iff i % hot_every == 0
     hot_base: int = 2000  # hot convs have hot_base + (i % 17) * 100 turns
     batch_size: int = 1000  # target events per microbatch
+    # token-repeat multiplier: 1 => FIXTURES.md §1 text exactly; bench specs
+    # raise it so per-turn text approaches realistic transcript sizes
+    # (hundreds of bytes) and the pipeline is compute- not overhead-bound
+    text_scale: int = 1
 
     @property
     def lsn_domain(self) -> int:
@@ -175,7 +179,7 @@ def gen_events_py(spec: FeedSpec) -> list[dict]:
         for t in range(spec.turns(ci)):
             ki = (ci << MAX_TURNS_POW) + t
             h = _h(ci, t)
-            base_text = f"turn {t} of conv-{ci:08d}: " + ("tok " * (t % 7))
+            base_text = f"turn {t} of conv-{ci:08d}: " + ("tok " * ((t % 7) * spec.text_scale))
             emit(_lsn1(spec, ki), "I", ci, t, base_text, 0)
             if h % 5 == 0:  # phase 2: 1-3 revisions
                 for k in range(1, 2 + h % 3):
@@ -220,7 +224,7 @@ def gen_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
             "base_text",
             F.concat(
                 F.format_string("turn %d of conv-%08d: ", F.col("t"), F.col("ci")),
-                F.repeat(F.lit("tok "), (F.col("t") % 7).cast("int")),
+                F.repeat(F.lit("tok "), ((F.col("t") % 7) * spec.text_scale).cast("int")),
             ),
         )
     )

@@ -25,11 +25,16 @@ def normalize_text(s: str | None) -> str | None:
     return _WS.sub(" ", unicodedata.normalize("NFC", s)).strip()
 
 
-@F.pandas_udf(StringType())
-def normalize_text_udf(s: pd.Series) -> pd.Series:
-    # NFC over the whole Arrow batch, vectorized whitespace collapse
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized batch normalization (shared by the pandas UDF and the
+    mapInPandas segment transform)."""
     return (
         s.map(lambda x: unicodedata.normalize("NFC", x), na_action="ignore")
         .str.replace(_WS, " ", regex=True)
         .str.strip()
     )
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(s: pd.Series) -> pd.Series:
+    return normalize_series(s)

@@ -64,7 +64,12 @@ def run_stream(
     if LakeTable.exists(table_root):
         table = LakeTable(table_root)
     else:
-        table = LakeTable.create(table_root, transcripts_schema_v1(), num_buckets=num_buckets)
+        table = LakeTable.create(
+            table_root,
+            transcripts_schema_v1(),
+            key_cols=["conv_id", "turn_idx"],
+            num_buckets=num_buckets,
+        )
 
     metrics: list[dict[str, Any]] = []
 

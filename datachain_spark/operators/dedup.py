@@ -1,0 +1,232 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact dedup is a hash-groupBy; near-dup families are MinHash+LSH, SimHash,
+and n-gram Jaccard. All signature computation stays JVM-side (built-in
+array/hash functions over shingle arrays — no Python UDFs); candidate
+generation uses LSH band-bucket joins so the pairwise comparison is
+O(collisions), never O(n^2) — at 10^10 documents the banded self-join is
+the only feasible shape, and each band bucket is a shuffle key, so skewed
+buckets are handled by AQE skew-join.
+
+The reference has no dedup operators (its distinct() is plain DISTINCT,
+/root/reference/src/datachain/query/dataset.py:1793-1805); these are the
+training-data-pipeline extensions the build brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a*h+b far below int64 overflow under ANSI mode while
+# leaving minhash collision probability ~1/2^31 per permutation
+MERSENNE = (1 << 31) - 1
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text.
+    One hash-shuffle on the fingerprint; partial aggregation map-side."""
+    fp = F.md5(normalize_for_dedup(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), JVM-side via slice/transform."""
+    toks = F.split(normalize_for_dedup(text), " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature: per permutation i, min over shingle base-hashes of
+    (a_i * h + b_i) mod M. Base hash = xxhash64 (JVM); the a/b constants are
+    fixed odd integers so signatures are deterministic everywhere."""
+    sh = shingles(text, n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    sigs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd
+        b = 104729 * (i + 1)
+        sigs.append(
+            F.coalesce(
+                F.array_min(F.transform(base, lambda h: F.pmod(h * a + b, F.lit(MERSENNE)))),
+                F.lit(MERSENNE),
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over MinHash.
+
+    rows/bands hashes per band; a pair collides if any band matches.
+    Verified pairs carry the estimated Jaccard (fraction of matching
+    minhashes). Self-join is on (band_id, band_hash) — never all-pairs."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), num_hashes, n).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+        )
+    ) / F.lit(float(len(range(num_hashes))))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64, n: int = 1) -> Column:
+    """SimHash: sign-sum of token-hash bits. Computed JVM-side by summing
+    (+1/-1) per bit over the token array with aggregate()."""
+    toks = F.array_distinct(F.split(normalize_for_dedup(text), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # JVM shiftleft(1L, 63) wraps to Long.MIN_VALUE — exactly the bit we want
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair within
+    hamming distance 3 must agree on at least one chunk — pigeonhole), then
+    verify exact hamming distance with bit_count(xor)."""
+    h = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sh", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sh", "ck.chunk", "ck.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-free inverted-index candidates:
+    explode shingles, self-join on shingle (the inverted index), count
+    shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Candidate set
+    is bounded by shared-shingle pairs, not all-pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the corpus, dot products via zip_with/aggregate —
+JVM-side, no Python in the row path. The scale path is LSH bucketing
+(random-hyperplane signatures): corpus and queries hash to sign-pattern
+buckets; only bucket collisions are scored, so the join is O(collisions)
+and shards over the cluster like any equi-join.
+
+The reference exposes cosine/euclidean distance as scalar functions backed
+by per-row Python in SQLite (/root/reference/src/datachain/func/array.py:10-116,
+sql/sqlite/base.py:238-253); here distances are Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cosine similarity (reference func/array.py:10-64 semantics)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. The query side is broadcast
+    (ANN query batches are small); per-query ranking is a window over the
+    scored pairs. Excludes self-matches when ids collide."""
+    pairs = corpus.join(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane LSH signature as an int: bit p = sign(v . h_p),
+    with deterministic pseudo-random planes h_p[i] = ((xxhash64(p,i) mod
+    2001) - 1000) / 1000 — reproducible across runs and languages."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comp = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, i: v
+                * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - 1000) / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(comp > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose hyperplane
+    signature matches the query's (single-probe). At 100 TB the bucket join
+    is an equi-join shuffle on the signature — no broadcast of the corpus,
+    no all-pairs."""
+    c = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn("__sig", hyperplane_signature(F.col(query_vec_col), dim, n_planes))
+    scored = (
+        c.join(q, "__sig")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
