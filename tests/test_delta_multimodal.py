@@ -1,0 +1,90 @@
+"""delta_update incremental recompute (reference tests/func/test_delta.py)
+and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datachain_spark.delta import delta_update
+from datachain_spark.lake.table import LakeTable
+from datachain_spark.operators.multimodal import decode_features, frame_sample, gen_fake_media
+
+
+def _save_version(spark, table: LakeTable, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    out = table.data_dir(f"v{table.current_version() + 1}")
+    df.write.mode("overwrite").parquet(out)
+    files = [
+        os.path.relpath(os.path.join(out, f), table.root)
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet")
+    ]
+    table.commit(replace_bucket_files={0: files}, schema=df.schema)
+
+
+def test_delta_update_incremental(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "src"), None or spark.createDataFrame([], "id int, v double").schema, key_cols=["id"], num_buckets=1)
+    res = LakeTable.create(str(tmp_path / "res"), spark.createDataFrame([], "id int, v double, out double").schema, key_cols=["id"], num_buckets=1)
+
+    calls = []
+
+    def transform(df):
+        calls.append(df)
+        return df.withColumn("out", F.col("v") * 10)
+
+    _save_version(spark, src, [(1, 1.0), (2, 2.0), (3, 3.0)], "id int, v double")
+    v = delta_update(spark, src, res, transform, on=["id"])
+    assert v is not None
+    got = sorted(tuple(r) for r in res.read(spark).collect())
+    assert got == [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 30.0)]
+
+    # second run with no source change: short-circuit
+    assert delta_update(spark, src, res, transform, on=["id"]) is None
+
+    # modify 2, add 4, delete 3 -> only the diff is recomputed
+    _save_version(spark, src, [(1, 1.0), (2, 9.0), (4, 4.0)], "id int, v double")
+    before = len(calls)
+    v2 = delta_update(spark, src, res, transform, on=["id"])
+    assert v2 is not None and len(calls) == before + 1
+    recomputed = calls[-1]
+    assert sorted(r["id"] for r in recomputed.select("id").collect()) == [2, 4]
+    got = sorted(tuple(r) for r in res.read(spark).collect())
+    assert got == [(1, 1.0, 10.0), (2, 9.0, 90.0), (4, 4.0, 40.0)]
+
+
+def test_delta_retry_rows(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "s2"), spark.createDataFrame([], "id int, v double").schema, key_cols=["id"], num_buckets=1)
+    res = LakeTable.create(str(tmp_path / "r2"), spark.createDataFrame([], "id int, v double, err string").schema, key_cols=["id"], num_buckets=1)
+
+    def transform(df):
+        # succeeds for everything on retry
+        return df.withColumn("err", F.lit(None).cast("string"))
+
+    _save_version(spark, src, [(1, 1.0), (2, 2.0)], "id int, v double")
+    delta_update(spark, src, res, transform, on=["id"])
+    # poison row 1 with an error marker in the result
+    poisoned = res.read(spark).withColumn(
+        "err", F.when(F.col("id") == 1, "boom").otherwise(F.col("err"))
+    )
+    _save_version(spark, res, [tuple(r) for r in poisoned.collect()], poisoned.schema)
+    # unchanged source + retry predicate -> row 1 reprocessed
+    _save_version(spark, src, [(1, 1.0), (2, 2.0), (3, 3.0)], "id int, v double")
+    delta_update(
+        spark, src, res, transform, on=["id"], retry_predicate=F.col("err").isNotNull()
+    )
+    rows = {r["id"]: r["err"] for r in res.read(spark).collect()}
+    assert rows == {1: None, 2: None, 3: None}
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = gen_fake_media(spark, 30)
+    feats = decode_features(media)
+    rows = feats.filter("kind = 'image'").select("media_id", "n_bytes", "phash").collect()
+    assert rows and all(r["n_bytes"] > 0 for r in rows)
+    frames = frame_sample(media.filter("kind = 'video'"), every_ms=1000)
+    f = frames.groupBy("media_id").count().collect()
+    assert f and all(r["count"] >= 1 for r in f)
+    # schema plumbing: binary payloads survive the Arrow round trip
+    assert dict(frames.dtypes)["frame_payload"] == "binary"

@@ -1,0 +1,167 @@
+"""Unit tests for diff / dedup / text / similarity operators against
+literal expected values (the reference's unit-test style,
+/root/reference/tests/unit/)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.diff import compare_and_split, diff
+from datachain_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_dups,
+)
+from datachain_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    lsh_topk,
+)
+from datachain_spark.operators.text import fingerprint, lang_id, quality_features, token_count
+
+
+# ---------------- diff ----------------
+def test_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], "id int, name string, v double"
+    )
+    rows = {r["id"]: r for r in diff(new, old, on=["id"]).collect()}
+    assert rows[1]["diff_status"] == "S"
+    assert rows[2]["diff_status"] == "M" and rows[2]["v"] == 99.0
+    assert rows[3]["diff_status"] == "D" and rows[3]["name"] == "c"  # values from right
+    assert rows[4]["diff_status"] == "A"
+
+
+def test_diff_compare_subset_and_filter(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
+    new = spark.createDataFrame([(1, "CHANGED", 1.0)], "id int, name string, v double")
+    # compare only v: name change does not count as modified
+    d = diff(new, old, on=["id"], compare=["v"]).collect()
+    assert d[0]["diff_status"] == "S"
+    split = compare_and_split(new, old, on=["id"])
+    assert split["M"].count() == 1  # default compare includes name
+    assert split["A"].count() == 0
+
+
+def test_diff_null_safe_keys(spark):
+    old = spark.createDataFrame([(None, 1.0)], "id int, v double")
+    new = spark.createDataFrame([(None, 1.0)], "id int, v double")
+    d = diff(new, old, on=["id"]).collect()
+    assert len(d) == 1 and d[0]["diff_status"] == "S"  # null key matches null key
+
+
+# ---------------- dedup ----------------
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The  quick brown fox   jumps over the lazy dog"),  # ws/case variant
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup
+    (4, "completely different content about spark engines and data"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    # 0,1,2 collapse to one representative (lowest id = 0)
+    assert kept == [0, 3, 4]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0  # normalized-identical
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 3)] < 1.0  # near-dup overlaps partially
+    assert not any(4 in p for p in pairs)
+
+
+# ---------------- text ----------------
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("  the cat, and a dog!  ",), ("",)], "text string")
+    toks = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert toks == [5, 0]
+    q = quality_features(df).collect()[0]
+    assert q["n_tokens"] == 5
+    assert q["distinct_stopwords"] >= 2  # the, and, a
+    assert q["punct_ratio"] > 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and it is lazy",),
+         ("el gato es de la casa y no se va",),
+         ("xyzzy plugh",)],
+        "text string",
+    )
+    out = [r["lang_pred"] for r in lang_id(df).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame([("A  b C",), ("a b c",)], "text string")
+    fps = [r["fp"] for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------- similarity ----------------
+def test_cosine_and_topk(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rk"])] == [1, 2]
+    sim = corpus.select(
+        cosine_similarity(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("s")
+    ).collect()
+    assert math.isclose(sim[0]["s"], 1.0)
+    assert math.isclose(sim[3]["s"], -1.0)
+
+
+def test_lsh_topk_finds_identical(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows.append((100, list(rows[5][1])))  # identical twin of vec 5
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id = 100").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_topk(corpus, queries, dim=8, k=1, n_planes=8).collect()
+    assert out and out[0]["vec_id"] == 5 and math.isclose(out[0]["cos_sim"], 1.0)
