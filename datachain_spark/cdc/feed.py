@@ -301,22 +301,28 @@ def gen_events_df(spark: SparkSession, spec: FeedSpec) -> DataFrame:
     return ev.unionByName(dups)
 
 
-def write_feed(spark: SparkSession, spec: FeedSpec, out_dir: str) -> int:
+def write_feed(
+    spark: SparkSession, spec: FeedSpec, out_dir: str, files_per_batch: int = 16
+) -> int:
     """Materialize the feed as one parquet directory per microbatch, in
-    lexical == replay order. Batches wholly before the schema-evolution
-    point are written WITHOUT the `tool` column (event schema v1), so the
-    target table genuinely has to evolve mid-replay. Returns batch count."""
+    lexical == replay order, `files_per_batch` files per directory (binlog
+    segments arrive as many files; single-file batches would cap the
+    consumer's scan parallelism at 1). Batches wholly before the
+    schema-evolution point are written WITHOUT the `tool` column (event
+    schema v1), so the target table genuinely has to evolve mid-replay.
+    Returns batch count."""
     ev = gen_events_df(spark, spec)
     # zero-padded batch dir => lexical order == numeric order for the
     # file-streaming source
     ev = ev.withColumn("batch", F.format_string("b%09d", F.col("batch_id"))).drop("batch_id")
+    salt = F.pmod(F.col("lsn"), F.lit(files_per_batch))
     evolution_batch = _batch_of(spec, spec.tool_lsn)
     pre = ev.filter(F.col("batch") < F.format_string("b%09d", F.lit(evolution_batch))).drop("tool")
     post = ev.filter(F.col("batch") >= F.format_string("b%09d", F.lit(evolution_batch)))
-    pre.repartition("batch").write.mode("overwrite").partitionBy("batch").parquet(
+    pre.repartition(F.col("batch"), salt).write.mode("overwrite").partitionBy("batch").parquet(
         os.path.join(out_dir, "v1")
     )
-    post.repartition("batch").write.mode("overwrite").partitionBy("batch").parquet(
+    post.repartition(F.col("batch"), salt).write.mode("overwrite").partitionBy("batch").parquet(
         os.path.join(out_dir, "v2")
     )
     # Binlog/WAL files arrive in order; Spark's file-streaming source picks

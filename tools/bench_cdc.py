@@ -50,13 +50,29 @@ def main() -> None:
     # the sandbox's virtual disk (a cluster's shuffle tier is distributed)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     local_dir = os.path.join(scratch, f"spark_local_{os.getpid()}")
+    # shuffle partitions are sized to the DATA, identical at every
+    # parallelism level — the controlled variable is cores only (a real
+    # cluster job would not re-tune partitioning per cluster size)
     spark = get_spark(
         cpus=args.cpus,
-        shuffle_partitions=2 * args.cpus,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64")),
         extra_conf={"spark.local.dir": local_dir},
     )
     if args.gen:
         write_feed(spark, spec, args.feed)
+
+    # pure-CPU capacity probe at THIS parallelism level: chained xxhash64
+    # over spark.range — zero shuffle/IO/Python. Establishes how much
+    # compute the host actually grants N cores (virtualized hosts throttle
+    # per-core speed as more cores go busy), so bench.py can report
+    # capacity-normalized scaling efficiency alongside the raw number.
+    from pyspark.sql import functions as F
+
+    expr = F.max(F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64("id"))))))
+    spark.range(10**6).select(expr).collect()  # JIT warm-up
+    t0 = time.monotonic()
+    spark.range(2 * 10**9, numPartitions=8 * args.cpus).select(expr).collect()
+    probe_seconds = time.monotonic() - t0
 
     n_events = spark.read.parquet(os.path.join(args.feed, "v*", "batch=*")).count()
 
@@ -64,7 +80,7 @@ def main() -> None:
     # codegen caches, and Python UDF workers are hot before the timed
     # window (sustained throughput is the metric, not cold-start)
     warm_root = tempfile.mkdtemp(prefix=f"bench_warm_{args.cpus}_", dir=scratch)
-    replay_feed_dir(spark, warm_root, args.feed, num_buckets=64, upto_batch=1)
+    replay_feed_dir(spark, warm_root, args.feed, num_buckets=64, upto_batch=0)
     shutil.rmtree(warm_root, ignore_errors=True)
 
     table_root = tempfile.mkdtemp(prefix=f"bench_cdc_{args.cpus}_", dir=scratch)
@@ -73,7 +89,16 @@ def main() -> None:
     dt = time.monotonic() - t0
     shutil.rmtree(table_root, ignore_errors=True)
     shutil.rmtree(local_dir, ignore_errors=True)
-    print(json.dumps({"seconds": dt, "events": n_events, "cpus": args.cpus}))
+    print(
+        json.dumps(
+            {
+                "seconds": dt,
+                "events": n_events,
+                "cpus": args.cpus,
+                "probe_seconds": probe_seconds,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
