@@ -323,6 +323,68 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): each click
+    event gets the most recent error event value for the same user at or
+    before its timestamp. Implemented via union + carry-forward window
+    (datachain_spark/operators/asof.py), verified against DuckDB's native
+    ASOF JOIN."""
+    from datachain_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    # dedupe right side per (user, ts) so tie-breaking is deterministic
+    errw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(errw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.round("value", 2).alias("err_value"))
+    )
+    out = asof_join(clicks, errors, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "user_id", "event_id", "value", F.col("asof_err_value").alias("last_err_value")
+    ).orderBy("event_id")
+
+
+def pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reference has none; SURVEY §2.5 'available in Spark')."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_id", *[F.col(k).alias(f"sum_{k}") for k in kinds]
+    ).orderBy("user_id")
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join == EXISTS."""
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -345,6 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "asof_last_error": asof_last_error,
+        "pivot_by_type": pivot_by_type,
+        "cube_counts": cube_counts,
+        "exists_semi": exists_semi,
     }
 
 
@@ -490,6 +556,42 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
             WHERE doc_id < 2000 ORDER BY doc_id
+        """,
+        "asof_last_error": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts, round(value, 2) AS value
+              FROM events WHERE event_type = 'click'
+            ),
+            errors AS (
+              SELECT user_id, ts, round(value, 2) AS err_value
+              FROM events WHERE event_type = 'error'
+              QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT c.user_id, c.event_id, c.value, e.err_value AS last_err_value
+            FROM clicks c ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+            ORDER BY c.event_id
+        """,
+        "pivot_by_type": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS sum_click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS sum_error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS sum_purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS sum_signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS sum_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "exists_semi": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY o_orderkey
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

@@ -165,3 +165,26 @@ def test_lsh_topk_finds_identical(spark):
     )
     out = lsh_topk(corpus, queries, dim=8, k=1, n_planes=8).collect()
     assert out and out[0]["vec_id"] == 5 and math.isclose(out[0]["cos_sim"], 1.0)
+
+
+# ---------------- as-of join ----------------
+def test_asof_join(spark):
+    from datachain_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "x")],
+        "k int, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (3, 1, 999)], "k int, t long, p int"
+    )
+    out = {
+        (r["k"], r["t"]): r["asof_p"]
+        for r in asof_join(left, right, on="k", left_ts="t").collect()
+    }
+    assert out == {(1, 5): 100, (1, 10): 100, (1, 20): 200, (2, 7): None}
+    strict = {
+        (r["k"], r["t"]): r["asof_p"]
+        for r in asof_join(left, right, on="k", left_ts="t", strict=True).collect()
+    }
+    assert strict[(1, 5)] is None  # strict: right at equal ts excluded

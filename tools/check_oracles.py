@@ -24,11 +24,17 @@ TABLES = [
 
 
 def norm(v):
+    if v is None:
+        return "\x00__NULL__"  # sortable alongside strings
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
     return v
+
+
+def normrow(row):
+    return tuple(repr(norm(v)) for v in row)
 
 
 def main() -> int:
@@ -77,11 +83,11 @@ def main() -> int:
             sidx = [scols.index(c) for c in order]
             didx = [dcols.index(c) for c in order]
             sset = sorted(
-                tuple(norm(r[i]) for i in sidx) for r in (tuple(x) for x in srows)
+                normrow(tuple(r[i] for i in sidx)) for r in (tuple(x) for x in srows)
             )
             # duckdb timestamps come back tz-naive; spark rows via collect are
             # naive too under UTC session — compare directly
-            dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+            dset = sorted(normrow(tuple(r[i] for i in didx)) for r in drows)
             if sset != dset:
                 bad = next(
                     (i for i, (a, b) in enumerate(zip(sset, dset)) if a != b), None
