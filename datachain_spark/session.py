@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark 4.1's ChecksumCheckpointFileManager deadlocks committing
+        # HDFSBackedStateStore deltas on local filesystems (awaitResult
+        # hang observed in applyInPandasWithState) — checksums off
+        .config("spark.sql.streaming.checkpointFileChecksum.enabled", "false")
+        .config("spark.sql.streaming.stateStore.checksumEnabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
