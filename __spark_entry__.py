@@ -385,6 +385,34 @@ def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality scoring -> language filter
+    -> exact dedup -> corpus stats. Every stage is a library operator
+    (operators/text.py, operators/dedup.py); this is the 'clean a crawl
+    for pretraining' shape at 100 TB (all JVM expressions, two shuffles:
+    dedup window + final agg)."""
+    from datachain_spark.operators.dedup import exact_dedup
+    from datachain_spark.operators.text import lang_id, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id(quality_features(docs))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") < 0.05)
+        & (F.col("lang_pred") == "en")
+    )
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("avg_token_len"), 4).alias("mean_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -407,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "document_pipeline": document_pipeline,
         "asof_last_error": asof_last_error,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
@@ -556,6 +585,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
             WHERE doc_id < 2000 ORDER BY doc_id
+        """,
+        "document_pipeline": f"""
+            WITH scored AS (
+              SELECT *,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                       / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)
+                       AS avg_token_len,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / greatest(length(text), 1) AS punct_ratio,
+                     len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), [{_EN}])) AS en,
+                     len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), [{_ES}])) AS es
+              FROM documents
+            ),
+            kept AS (
+              SELECT * FROM scored
+              WHERE n_tokens >= 20 AND punct_ratio < 0.05
+                AND CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END = 'en'
+            ),
+            deduped AS (
+              SELECT * FROM kept
+              QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) = 1
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   round(avg(avg_token_len), 4) AS mean_token_len
+            FROM deduped GROUP BY lang ORDER BY lang
         """,
         "asof_last_error": """
             WITH clicks AS (

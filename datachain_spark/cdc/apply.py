@@ -199,18 +199,24 @@ def apply_batch(
     # at-scale layout (buckets x files_per_bucket); partitionBy routes rows
     # to bucket dirs regardless of which task holds them
     out_dir = table.data_dir(f"job={job_id}", f"batch={batch_id:09d}")
-    default_par = spark.sparkContext.defaultParallelism
-    n_parts = max(1, min(table.num_buckets * files_per_bucket, 2 * default_par))
-    (
-        segment.withColumn(
-            "_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket))
+    # crash-recovery fast path (the reference's continue-from-partial,
+    # query/dataset.py:1221-1360, at segment granularity): if a previous
+    # attempt crashed AFTER fully writing this (job,batch) segment but
+    # BEFORE the manifest commit, reuse the files instead of recomputing —
+    # inputs are identical because the parent snapshot never advanced.
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        default_par = spark.sparkContext.defaultParallelism
+        n_parts = max(1, min(table.num_buckets * files_per_bucket, 2 * default_par))
+        (
+            segment.withColumn(
+                "_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket))
+            )
+            .repartition(n_parts, "bucket", "_salt")
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
         )
-        .repartition(n_parts, "bucket", "_salt")
-        .drop("_salt")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(out_dir)
-    )
 
     # ---- lineage stats from parquet footers (driver-side, zero Spark
     # jobs): rows_in = num_rows, per-bucket hwm = max(_lsn) column stat,

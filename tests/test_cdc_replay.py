@@ -136,3 +136,39 @@ def test_version_tags_and_time_travel(spark, feed_dir, tmp_path):
     assert sorted(map(tuple, tagged.collect())) == sorted(map(tuple, direct.collect()))
     # versions are immutable: count of first snapshot never changes
     assert table.read(spark, version=v_first).count() == tagged.count()
+
+
+def test_crash_between_write_and_commit(spark, feed_dir, oracle_rows, tmp_path):
+    """Reference continue-from-partial analog: a crash after the segment
+    write but before the manifest commit must (a) leave table state
+    unchanged, (b) let the retry reuse the written segment without
+    recomputing, (c) converge to the oracle."""
+    import os
+
+    from datachain_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "t")
+    table, m1 = replay_feed_dir(spark, root, feed_dir, num_buckets=8, upto_batch=1)
+    v_before = table.current_version()
+
+    # crash injection: commit raises AFTER the segment write happened
+    orig_commit = LakeTable.commit
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before commit")
+    LakeTable.commit = boom
+    try:
+        with pytest.raises(RuntimeError):
+            replay_feed_dir(spark, root, feed_dir, num_buckets=8, upto_batch=2)
+    finally:
+        LakeTable.commit = orig_commit
+
+    table = LakeTable(root)
+    assert table.current_version() == v_before  # nothing committed
+    seg_dir = table.data_dir("job=replay", f"batch={2:09d}")
+    assert os.path.exists(os.path.join(seg_dir, "_SUCCESS"))  # orphan segment
+    mtime = os.path.getmtime(os.path.join(seg_dir, "_SUCCESS"))
+
+    # retry: reuses the orphan segment (no rewrite) and commits it
+    table, m2 = replay_feed_dir(spark, root, feed_dir, num_buckets=8)
+    assert os.path.getmtime(os.path.join(seg_dir, "_SUCCESS")) == mtime
+    assert final_state(spark, table) == oracle_rows
