@@ -97,6 +97,111 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    self-join (only same-signature vectors are scored — near-identical
+    vectors collide with high probability), then exact cosine filter.
+    O(collisions), never all-pairs."""
+    sig = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__sig") == F.col("r.__sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroid cells (IVF
+    coarse quantizer). Centroids are a driver-side list (k is small);
+    distances are Catalyst expressions, so assignment is a narrow map —
+    no shuffle."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                cosine_distance(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("d"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(dists, lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0)), 1, nprobe)
+    return df.withColumn(out_col, F.transform(ranked, lambda s: s["cell"]))
+
+
+def train_centroids_by_hash(df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic 'training': pick k spread-out corpus vectors by hash
+    rank (a real deployment would run k-means; the IVF *plumbing* —
+    assignment, inverted cells, probe-limited search — is identical)."""
+    rows = (
+        df.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    return [list(map(float, r[0])) for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell (the inverted file); each query probes its `nprobe` nearest cells
+    and scores only those cells' vectors. The cell equi-join shards over
+    the cluster; scan cost ~ nprobe/k_cells of the corpus."""
+    c = ivf_assign(corpus, centroids, vec_col, nprobe=1).withColumn(
+        "__cell", F.element_at("__cell", 1)
+    )
+    q = ivf_assign(queries, centroids, query_vec_col, nprobe=nprobe).select(
+        query_id_col, query_vec_col, F.explode("__cell").alias("__cell")
+    )
+    scored = (
+        c.join(q, "__cell")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -188,3 +188,31 @@ def test_asof_join(spark):
         for r in asof_join(left, right, on="k", left_ts="t", strict=True).collect()
     }
     assert strict[(1, 5)] is None  # strict: right at equal ts excluded
+
+
+def test_embedding_near_dups_and_ivf(spark):
+    import random
+
+    from datachain_spark.operators.similarity import (
+        embedding_near_dups,
+        ivf_topk,
+        train_centroids_by_hash,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    twin = [x * 1.0001 for x in rows[7][1]]  # near-identical to vec 7
+    rows.append((200, twin))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    dups = embedding_near_dups(corpus, dim=8, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert (7, 200) in pairs
+
+    cents = train_centroids_by_hash(corpus, k=4)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    queries = corpus.filter("vec_id = 200").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(corpus, queries, cents, k=1, nprobe=2).collect()
+    assert out and out[0]["vec_id"] == 7  # probe finds the twin's cell
