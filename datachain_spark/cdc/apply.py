@@ -54,6 +54,13 @@ KEY_COLS = ["conv_id", "turn_idx"]
 META_COLS = {"lsn", "batch_id", "op", "batch"}
 
 
+class SchemaDriftError(ValueError):
+    """Incompatible schema change in the feed (an existing column changed
+    type). Added columns evolve automatically; type changes are refused —
+    the reference raises the same way
+    (/root/reference/src/datachain/delta.py:58-97)."""
+
+
 def transcripts_schema_v1() -> T.StructType:
     """Initial target schema (BASELINE.json input_hint, minus `tool`,
     which arrives via mid-stream schema evolution — FIXTURES.md §1)."""
@@ -137,8 +144,14 @@ def apply_batch(
     # carries data in this batch; an all-null phantom column (e.g. a
     # wide-schema streaming source padding old files) is ignored.
     new_fields: list[T.StructField] = []
+    target_types = {f.name: f.dataType for f in target_schema.fields}
     for f in _payload_fields(events):
-        if f.name in target_schema.fieldNames():
+        if f.name in target_types:
+            if f.dataType != target_types[f.name]:
+                raise SchemaDriftError(
+                    f"column {f.name!r} changed type "
+                    f"{target_types[f.name].simpleString()} -> {f.dataType.simpleString()}"
+                )
             continue
         if events.filter(F.col(f.name).isNotNull()).take(1):
             new_fields.append(T.StructField(f.name, f.dataType, True))
