@@ -385,6 +385,49 @@ def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through region/nation/supplier/customer;
+    small dims broadcast, big fact shuffles once."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def salted_agg_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — identical result
+    to a plain groupBy, skew-proof shuffle shape."""
+    from datachain_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "user_id",
+        {"n": ("count", "*"), "total": ("sum", "value"), "vmax": ("max", "value")},
+        salt=8,
+    )
+    return out.select(
+        "user_id", "n", F.round("total", 2).alias("total"), F.round("vmax", 2).alias("vmax")
+    ).orderBy("user_id")
+
+
 def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality scoring -> language filter
     -> exact dedup -> corpus stats. Every stage is a library operator
@@ -435,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "q5_region_revenue": q5_region_revenue,
+        "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
         "asof_last_error": asof_last_error,
         "pivot_by_type": pivot_by_type,
@@ -585,6 +630,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
             WHERE doc_id < 2000 ORDER BY doc_id
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "salted_agg_by_user": """
+            SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
+                   round(max(value), 2) AS vmax
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "document_pipeline": f"""
             WITH scored AS (

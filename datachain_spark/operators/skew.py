@@ -1,0 +1,62 @@
+"""Skew-handling helpers: two-phase salted aggregation.
+
+The north rule's salting requirement, generalized: hot keys (conversations
+with thousands of turns, power-law users) overload single reducers in a
+plain groupBy. `salted_agg` splits the aggregation into a salted partial
+pass (hot key's rows spread over `salt` reducers) and a tiny final merge
+pass over (key, salt) partials — the standard two-phase rewrite, kept
+fully declarative so Catalyst still does map-side partial aggregation
+within each phase.
+
+Only algebraic aggregates decompose this way; the API takes (partial,
+final) expression pairs for count/sum/min/max and derives avg."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """aggs: out_name -> (kind, col) with kind in
+    {count, sum, min, max, avg}. Example:
+        salted_agg(events, "user_id", {"n": ("count", "*"),
+                                       "total": ("sum", "value"),
+                                       "mean": ("avg", "value")})
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    s = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+
+    partial_exprs: list[Column] = []
+    final_exprs: list[Column] = []
+    for name, (kind, col) in aggs.items():
+        if kind == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+            final_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__p_{name}"))
+            final_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "min":
+            partial_exprs.append(F.min(col).alias(f"__p_{name}"))
+            final_exprs.append(F.min(f"__p_{name}").alias(name))
+        elif kind == "max":
+            partial_exprs.append(F.max(col).alias(f"__p_{name}"))
+            final_exprs.append(F.max(f"__p_{name}").alias(name))
+        elif kind == "avg":
+            partial_exprs.append(F.sum(col).alias(f"__ps_{name}"))
+            partial_exprs.append(F.count(col).alias(f"__pc_{name}"))
+            final_exprs.append(
+                (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name)
+            )
+        else:
+            raise ValueError(f"non-decomposable aggregate kind {kind!r}")
+
+    partial = df.withColumn("__salt", s).groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -216,3 +216,38 @@ def test_embedding_near_dups_and_ivf(spark):
     )
     out = ivf_topk(corpus, queries, cents, k=1, nprobe=2).collect()
     assert out and out[0]["vec_id"] == 7  # probe finds the twin's cell
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from datachain_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (1, 6.0), (2, 10.0), (3, 1.0)], "k int, v double"
+    )
+    out = {
+        r["k"]: (r["n"], r["total"], r["mean"], r["vmax"])
+        for r in salted_agg(
+            df, "k", {"n": ("count", "*"), "total": ("sum", "v"), "mean": ("avg", "v"), "vmax": ("max", "v")}, salt=4
+        ).collect()
+    }
+    assert out == {1: (3, 12.0, 4.0, 6.0), 2: (1, 10.0, 10.0, 10.0), 3: (1, 1.0, 1.0, 1.0)}
+
+
+def test_lake_expire_versions(spark, tmp_path):
+    from datachain_spark.cdc.apply import KEY_COLS, apply_batch, transcripts_schema_v1
+    from datachain_spark.lake.table import LakeTable
+    from datetime import datetime, timedelta, timezone
+    import os
+
+    table = LakeTable.create(str(tmp_path / "t"), transcripts_schema_v1(), key_cols=KEY_COLS, num_buckets=2)
+    T0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, "I", f"c{i}", b, "user", f"t{b}-{i}", T0 + timedelta(seconds=b * 10 + i)) for i in range(3)],
+            "lsn long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp",
+        )
+        apply_batch(spark, table, df, "vac", b, normalize=False)
+    n_before = table.read(spark).count()
+    removed = table.expire_versions(keep_last=2)
+    assert removed >= 0 and len(table.versions()) == 2
+    assert table.read(spark).count() == n_before  # HEAD unaffected
