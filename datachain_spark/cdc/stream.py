@@ -91,16 +91,54 @@ def run_stream(
         if on_batch:
             on_batch(epoch_id, m)
 
-    stream = (
-        spark.readStream.schema(event_stream_schema())
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(os.path.join(feed_dir, "v*", "batch=*"))
-    )
-    query = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # StreamingQueryListener: Spark's own per-microbatch progress
+    # (input rows, durations) — the engine-side complement of the
+    # LakeTable ledger (SURVEY.md §7 stage 5)
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress: list[dict[str, Any]] = []
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            progress.append(
+                {
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "durationMs": dict(p.durationMs),
+                }
+            )
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(event_stream_schema())
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(os.path.join(feed_dir, "v*", "batch=*"))
+        )
+        query = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+    for m in metrics:
+        m.setdefault("spark_progress", None)
+    for p in progress:
+        for m in metrics:
+            if m.get("epoch_id") == p["batchId"]:
+                m["spark_progress"] = p
     return table, metrics

@@ -431,6 +431,45 @@ class LakeTable:
                 )
         return rows
 
+    def ledger_df(self, spark: SparkSession) -> DataFrame:
+        """The commit manifest as a queryable DataFrame (FIXTURES.md §3
+        schema): one row per (batch, partition) with high-watermark LSN and
+        lineage counts — the reference's checkpoint-events surface
+        (/root/reference/src/datachain/checkpoint_event.py) as a table."""
+        schema = T.StructType(
+            [
+                T.StructField("job_id", T.StringType(), False),
+                T.StructField("batch_id", T.LongType(), False),
+                T.StructField("partition_id", T.IntegerType(), False),
+                T.StructField("high_watermark_lsn", T.LongType(), False),
+                T.StructField("rows_in", T.LongType(), True),
+                T.StructField("rows_upserted", T.LongType(), True),
+                T.StructField("rows_deleted", T.LongType(), True),
+                T.StructField("committed_at", T.TimestampType(), True),
+                T.StructField("version", T.LongType(), False),
+            ]
+        )
+        import datetime
+
+        rows = []
+        for r in self.ledger_rows():
+            rows.append(
+                (
+                    r["job_id"],
+                    int(r["batch_id"]),
+                    int(r["partition_id"]),
+                    int(r["high_watermark_lsn"]),
+                    int(r["rows_in"]),
+                    int(r["rows_upserted"]),
+                    int(r["rows_deleted"]),
+                    datetime.datetime.fromtimestamp(r["committed_at"], datetime.timezone.utc)
+                    if r.get("committed_at")
+                    else None,
+                    int(r["version"]),
+                )
+            )
+        return spark.createDataFrame(rows, schema)
+
     def expire_versions(self, keep_last: int = 10) -> int:
         """Vacuum: drop manifests (and data files referenced by no kept
         version) older than the last `keep_last` versions."""

@@ -57,3 +57,19 @@ def test_stream_crash_resume(spark, feed_dir, oracle_rows, tmp_path):
     # ledger/watermarks; the stream finishes the remaining files
     table, metrics = run_stream(spark, root, feed_dir, ckpt, num_buckets=8)
     assert final_state(spark, table) == oracle_rows
+
+
+def test_ledger_df_schema_and_listener(spark, feed_dir, tmp_path):
+    table, metrics = run_stream(
+        spark, str(tmp_path / "t"), feed_dir, str(tmp_path / "ckpt"), num_buckets=8
+    )
+    led = table.ledger_df(spark)
+    assert set(led.columns) == {
+        "job_id", "batch_id", "partition_id", "high_watermark_lsn",
+        "rows_in", "rows_upserted", "rows_deleted", "committed_at", "version",
+    }
+    assert led.count() > 0
+    assert led.filter("high_watermark_lsn < 0").count() == 0
+    # the Spark listener attached progress for applied epochs
+    applied = [m for m in metrics if "version" in m]
+    assert any(m.get("spark_progress") for m in applied)
