@@ -230,13 +230,20 @@ def distinct_on_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: gap > 30 min starts a new session; sessions per user."""
+    """Sessionization: gap > 30 min starts a new session; sessions per user.
+    Gap arithmetic is in MICROSECONDS (unix_micros <-> DuckDB epoch_us) so
+    both sides compare exact integers — second-truncated casts would
+    classify a 1800.4s gap differently from fractional epoch() doubles."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # cast: testdata ts is TIMESTAMP_NTZ; session tz is UTC so the cast is
+    # wall-clock-identical to DuckDB's epoch_us over the naive timestamp
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     return (
-        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
@@ -586,14 +593,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, event_type
         """,
         "sessionize": """
+            -- epoch_us: exact integer microseconds (matches Spark unix_micros);
+            -- CAST(sum(...) AS BIGINT): duckdb sum(int) is HUGEINT (int128),
+            -- which the driver's value hash renders differently from int64
             WITH g AS (
               SELECT user_id,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "dedup_exact": f"""
@@ -672,7 +683,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM kept
               QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) = 1
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(avg_token_len), 4) AS mean_token_len
             FROM deduped GROUP BY lang ORDER BY lang
         """,

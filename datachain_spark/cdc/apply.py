@@ -4,21 +4,31 @@ This is the Spark-first rebuild of the reference's delta/diff machinery:
 - the reference recomputes a keyed diff of the source and unions it with
   the previous dataset version (/root/reference/src/datachain/delta.py:240-396,
   diff classifier /root/reference/src/datachain/diff/__init__.py:27-163);
-- here each microbatch is deduped last-writer-wins over (ts, lsn) per key
-  (the window the north rule asks for), then merged into only the touched
-  hash-buckets of the target (anti-join out superseded rows, union the
-  after-images), and committed atomically with a ledger row — the
-  exactly-once analog of the reference's checkpoint skip/continue
+- here each microbatch is deduped last-writer-wins per key over `lsn` (the
+  WAL total order — the single ordering used EVERYWHERE: intra-batch dedup,
+  merge-on-read resolution, and the oracle, so merge semantics are
+  independent of batch boundaries), then appended as MOR segments to only
+  the touched hash-buckets, and committed atomically with a ledger row —
+  the exactly-once analog of the reference's checkpoint skip/continue
   (/root/reference/src/datachain/query/dataset.py:998-1073).
 
 Exactly-once, two layers:
-1. (job_id, batch_id) ledger in the snapshot manifest — a replayed batch is
-   detected and skipped before any work (mirrors find_checkpoint skip).
-2. per-bucket high-watermark LSN filter — duplicate deliveries of
-   individual events (same lsn, later batch) are dropped even when the
-   batch itself is new; an entirely-stale batch short-circuits to a no-op
-   without committing a version (mirrors the reference's empty-diff
-   short-circuit, /root/reference/src/datachain/delta.py:373-375).
+1. (job_id, batch_id) ledger — a committed-batch range set carried in the
+   snapshot manifest; a replayed batch is detected in O(1) driver-side and
+   skipped before any work (mirrors find_checkpoint skip).
+2. duplicate deliveries of individual events (same lsn, different batch)
+   are APPENDED and absorbed by LWW resolution at read: a redelivery
+   carries the identical payload for the same (key, lsn), so whichever
+   copy the resolution window keeps, the result is the same row. This is
+   safe under ANY delivery order. When the caller can additionally
+   guarantee per-bucket non-decreasing LSN-span delivery (batch replay of
+   whole feed-batch directories), `lsn_ordered=True` turns on the cheaper
+   per-bucket high-watermark filter, which drops redeliveries before the
+   write and lets an entirely-stale batch short-circuit to a no-op.
+   NOTE the filter is ONLY sound under that contract — a file-granular
+   streaming source can deliver one feed batch's files across epochs in
+   interleaved LSN order, and the filter would silently drop unseen
+   events (hence the default is False).
 
 Scale notes:
 - Merge-on-read: the batch is written as NEW segments (after-images +
@@ -35,12 +45,17 @@ Scale notes:
   count, so a hot conversation's bucket is written by `files_per_bucket`
   parallel tasks (salted skew mitigation, per the north rule) and file
   counts stay bounded; compaction keeps segments-per-bucket bounded.
+- Zero driver-side Spark jobs besides the segment write itself: schema
+  evolution and all lineage stats come from the just-written parquet
+  footers (read in parallel threads), the ledger check is an O(1) lookup
+  in the HEAD snapshot, and watermarks are metadata.
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -79,19 +94,52 @@ def _payload_fields(events: DataFrame) -> list[T.StructField]:
     return [f for f in events.schema.fields if f.name not in META_COLS]
 
 
-def _segment_footer_stats(
-    table_root: str, out_dir: str
-) -> tuple[dict[int, list[str]], dict[int, dict[str, int]]]:
-    """Per-bucket (files, {n, n_del, hwm}) from parquet footer metadata —
-    driver-side only. At 10^10 scale this is O(files) footer reads of the
-    just-written segment (page-cache-hot), the same trick Iceberg uses for
-    its manifest column stats."""
+def _one_file_stats(path: str, cand_cols: list[str]) -> dict[str, Any]:
+    """Footer metadata of one segment file: row count, max `_lsn`, tombstone
+    count (non-null `_deleted`), and non-null counts for candidate
+    evolution columns. Parquet `num_values` INCLUDES nulls; non-null counts
+    come from the statistics null_count."""
     import pyarrow.parquet as pq
 
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    idx = {n: i for i, n in enumerate(names)}
+    out: dict[str, Any] = {"n": md.num_rows, "hwm": -1, "n_del": 0, "cand": dict.fromkeys(cand_cols, 0)}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+
+        def nonnull(col: str) -> int:
+            c = g.column(idx[col])
+            s = c.statistics
+            if s is not None and s.null_count is not None:
+                return c.num_values - s.null_count
+            return c.num_values  # stats absent: conservative (assume data)
+
+        lsn_s = g.column(idx[LSN_COL]).statistics
+        if lsn_s is not None and lsn_s.max is not None:
+            out["hwm"] = max(out["hwm"], lsn_s.max)
+        out["n_del"] += nonnull(DELETED_COL)
+        for c in cand_cols:
+            if c in idx:
+                out["cand"][c] += nonnull(c)
+    return out
+
+
+def _segment_footer_stats(
+    table_root: str, out_dir: str, cand_cols: list[str] | None = None
+) -> tuple[dict[int, list[str]], dict[int, dict[str, Any]]]:
+    """Per-bucket (files, {n, n_del, hwm, cand}) from parquet footer
+    metadata — driver-side, parallel over files (footer reads release the
+    GIL in pyarrow). At 10^10 scale this is O(files) footer reads of the
+    just-written segment (page-cache-hot), the same trick Iceberg uses for
+    its manifest column stats; on a real cluster the equivalent is a tiny
+    stats job or Iceberg's write-time metrics."""
+    cand_cols = cand_cols or []
     files: dict[int, list[str]] = {}
-    stats: dict[int, dict[str, int]] = {}
+    stats: dict[int, dict[str, Any]] = {}
     if not os.path.isdir(out_dir):
         return files, stats
+    work: list[tuple[int, str]] = []
     for entry in os.listdir(out_dir):
         if not entry.startswith("bucket="):
             continue
@@ -100,22 +148,19 @@ def _segment_footer_stats(
         bfiles = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         if not bfiles:
             continue
-        st = {"n": 0, "n_del": 0, "hwm": -1}
-        for f in bfiles:
-            md = pq.ParquetFile(os.path.join(bdir, f)).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
-            i_lsn, i_del = names.index(LSN_COL), names.index(DELETED_COL)
-            st["n"] += md.num_rows
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                lsn_s = g.column(i_lsn).statistics
-                if lsn_s is not None and lsn_s.max is not None:
-                    st["hwm"] = max(st["hwm"], lsn_s.max)
-                # non-null _deleted rows are tombstones; num_values is the
-                # parquet non-null count
-                st["n_del"] += g.column(i_del).num_values
         files[b] = [os.path.relpath(os.path.join(bdir, f), table_root) for f in bfiles]
-        stats[b] = st
+        stats[b] = {"n": 0, "n_del": 0, "hwm": -1, "cand": dict.fromkeys(cand_cols, 0)}
+        work += [(b, os.path.join(bdir, f)) for f in bfiles]
+    if not work:
+        return files, stats
+    with ThreadPoolExecutor(max_workers=min(16, len(work))) as ex:
+        for (b, _), st in zip(work, ex.map(lambda w: _one_file_stats(w[1], cand_cols), work)):
+            s = stats[b]
+            s["n"] += st["n"]
+            s["n_del"] += st["n_del"]
+            s["hwm"] = max(s["hwm"], st["hwm"])
+            for c in cand_cols:
+                s["cand"][c] += st["cand"][c]
     return files, stats
 
 
@@ -128,23 +173,27 @@ def apply_batch(
     files_per_bucket: int = 1,
     max_segments: int = 8,
     normalize: bool = True,
+    lsn_ordered: bool = False,
 ) -> dict[str, Any]:
     """Apply one microbatch. Returns lineage metrics (also committed into
-    the snapshot ledger). Idempotent: replaying any committed batch — or a
-    batch whose events are all below the per-bucket high watermarks — is a
-    no-op that commits nothing."""
+    the snapshot ledger). Idempotent: replaying any committed batch is an
+    O(1) no-op; redelivered individual events are appended and absorbed by
+    LWW-by-lsn at read (or dropped pre-write when `lsn_ordered=True` — see
+    module docstring for the delivery-order contract)."""
     if table.batch_committed(job_id, batch_id):
         return {"batch_id": batch_id, "skipped": "ledger"}
 
     snap = table.snapshot()
     target_schema = snap.schema
 
-    # ---- schema evolution (mergeSchema-style union-by-name) ----
-    # A structurally new payload column evolves the target schema iff it
-    # carries data in this batch; an all-null phantom column (e.g. a
-    # wide-schema streaming source padding old files) is ignored.
-    new_fields: list[T.StructField] = []
+    # ---- schema drift check (metadata-only, no Spark job) ----
+    # Structurally new payload columns are written into the segment and the
+    # target schema evolves iff the column actually carries data in this
+    # batch — decided AFTER the write from parquet footer non-null counts,
+    # so an all-null phantom column (e.g. a wide-schema streaming source
+    # padding old files) costs nothing and evolves nothing.
     target_types = {f.name: f.dataType for f in target_schema.fields}
+    cand_fields: list[T.StructField] = []
     for f in _payload_fields(events):
         if f.name in target_types:
             if f.dataType != target_types[f.name]:
@@ -152,47 +201,45 @@ def apply_batch(
                     f"column {f.name!r} changed type "
                     f"{target_types[f.name].simpleString()} -> {f.dataType.simpleString()}"
                 )
-            continue
-        if events.filter(F.col(f.name).isNotNull()).take(1):
-            new_fields.append(T.StructField(f.name, f.dataType, True))
         else:
-            events = events.drop(f.name)
-    evolved_schema = (
-        T.StructType(list(target_schema.fields) + new_fields) if new_fields else target_schema
-    )
-    out_cols = evolved_schema.fieldNames()
+            cand_fields.append(T.StructField(f.name, f.dataType, True))
+    cand_names = [f.name for f in cand_fields]
 
-    # ---- bucket + high-watermark dedup of re-delivered events ----
-    # watermarks are O(num_buckets) driver-side metadata -> a literal
-    # create_map expression beats a per-batch broadcast-join (no exchange,
-    # stays inside whole-stage codegen)
+    # ---- bucket assignment (+ optional ordered-delivery stale filter) ----
     ev = events.withColumn("bucket", table.bucket_expr())
-    if snap.watermarks:
+    if lsn_ordered and snap.watermarks:
+        # watermarks are O(num_buckets) driver-side metadata -> a literal
+        # create_map expression beats a per-batch broadcast-join (no
+        # exchange, stays inside whole-stage codegen)
         entries = []
         for b, lsn in snap.watermarks.items():
             entries += [F.lit(b), F.lit(lsn)]
         wm = F.element_at(F.create_map(*entries), F.col("bucket"))
         ev = ev.filter(F.col("lsn") > F.coalesce(wm, F.lit(-1)))
 
-    # ---- last-writer-wins per key over (ts, lsn) ----
-    # row_number window, rn=1. Measured alternatives: max_by hash-agg is
-    # comparable alone but 2.5x slower once the Arrow normalize UDF follows
-    # (ObjectHashAggregate output feeds ArrowEvalPython poorly); a
-    # single-shuffle mapInPandas dedup is 50% slower (pandas object-dtype
-    # sorts). The window key is the FULL (conv_id, turn_idx), so hot
-    # conversations do not skew its partitions.
-    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc(), F.col("lsn").desc())
+    # ---- last-writer-wins per key over lsn ----
+    # lsn is THE total order — identical to merge-on-read resolution
+    # (lake/table.py _resolve) and the oracle, so the surviving row per key
+    # never depends on where a batch boundary fell. `ts` is payload, not
+    # ordering. row_number window, rn=1; Catalyst rewrites it to
+    # WindowGroupLimit (map-side top-1). Measured alternatives: max_by
+    # hash-agg is comparable alone but 2.5x slower once the Arrow
+    # normalize UDF follows; a single-shuffle mapInPandas dedup is 50%
+    # slower (pandas object-dtype sorts).
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("lsn").desc())
     dedup = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     if normalize and "text" in dedup.columns:
         dedup = dedup.withColumn("text", normalize_text_udf(F.col("text")))
 
     # ---- merge-on-read segment: after-images + delete tombstones ----
     # target columns absent from this batch (e.g. a replayed pre-evolution
-    # batch against an already-evolved table) are null-filled
+    # batch against an already-evolved table) are null-filled; candidate
+    # new columns ride along in the file and are invisible to readers
+    # unless the commit below evolves the schema
     is_del = F.col("op") == "D"
     batch_cols = set(dedup.columns)
     payload = []
-    for f in evolved_schema.fields:
+    for f in list(target_schema.fields) + cand_fields:
         c = f.name
         if c in KEY_COLS:
             payload.append(F.col(c))
@@ -201,7 +248,7 @@ def apply_batch(
         else:
             payload.append(F.lit(None).cast(f.dataType).alias(c))
     # tombstone marker: true for deletes, NULL (not false) for upserts, so
-    # parquet footer null_count yields the delete count without a scan
+    # the parquet footer null_count yields the delete count without a scan
     deleted_marker = F.when(is_del, F.lit(True)).otherwise(F.lit(None).cast("boolean"))
     segment = dedup.select(
         *payload, F.col("lsn").alias(LSN_COL), deleted_marker.alias(DELETED_COL), "bucket"
@@ -231,13 +278,19 @@ def apply_batch(
             .parquet(out_dir)
         )
 
-    # ---- lineage stats from parquet footers (driver-side, zero Spark
-    # jobs): rows_in = num_rows, per-bucket hwm = max(_lsn) column stat,
-    # deletes = non-null _deleted count (tombstones write true, upserts
-    # write null exactly so footers carry the split) ----
-    new_bucket_files, bstats = _segment_footer_stats(table.root, out_dir)
+    # ---- lineage + evolution from parquet footers (driver-side, zero
+    # Spark jobs): rows_in = num_rows, per-bucket hwm = max(_lsn) column
+    # stat, deletes and candidate-column data = non-null counts ----
+    new_bucket_files, bstats = _segment_footer_stats(table.root, out_dir, cand_names)
     if not bstats:
         return {"batch_id": batch_id, "skipped": "stale"}  # no-change short-circuit
+
+    new_fields = [
+        f for f in cand_fields if any(s["cand"][f.name] > 0 for s in bstats.values())
+    ]
+    evolved_schema = (
+        T.StructType(list(target_schema.fields) + new_fields) if new_fields else None
+    )
 
     touched = sorted(bstats)
     watermark_updates = {b: s["hwm"] for b, s in bstats.items()}
@@ -261,7 +314,7 @@ def apply_batch(
     version = table.commit(
         append_bucket_files=new_bucket_files,
         has_deletes=buckets_with_deletes,
-        schema=evolved_schema if new_fields else None,
+        schema=evolved_schema,
         watermark_updates=watermark_updates,
         ledger=ledger,
     )
@@ -297,7 +350,9 @@ def replay_feed_dir(
 ) -> tuple[LakeTable, list[dict[str, Any]]]:
     """Batch-mode replay of a write_feed output directory, in lsn order.
     Resumable: re-running over a partially-applied table skips committed
-    batches via the ledger and stale events via the watermarks."""
+    batches via the ledger and stale events via the watermarks. Each
+    microbatch is a WHOLE feed-batch directory, so per-bucket LSN spans
+    arrive in non-decreasing order and `lsn_ordered=True` is sound."""
     from datachain_spark.cdc.feed import feed_batch_dirs
 
     if LakeTable.exists(table_root):
@@ -318,6 +373,8 @@ def replay_feed_dir(
         schema = v1 if f"{os.sep}v1{os.sep}" in d else v2
         events = spark.read.schema(schema).parquet(d)
         metrics.append(
-            apply_batch(spark, table, events, job_id, batch_id, normalize=normalize)
+            apply_batch(
+                spark, table, events, job_id, batch_id, normalize=normalize, lsn_ordered=True
+            )
         )
     return table, metrics

@@ -133,13 +133,21 @@ class Chain:
     def limit(self, n: int) -> "Chain":
         return self._evolve(self.df.limit(n))
 
-    def offset(self, n: int) -> "Chain":
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return self._evolve(
-            self.df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > n)
-            .drop("__rn")
-        )
+    def offset(self, n: int, *order_by: str | Column) -> "Chain":
+        """Skip the first `n` rows of an EXPLICIT total order (reference
+        datachain.py:2975-2995). Requires order keys: offset without a
+        defined order is meaningless, and the tempting implementation — a
+        row_number window over monotonically_increasing_id with no
+        partitionBy — pulls the whole table through one task. Spark's
+        native offset operator handles the skip after the sort."""
+        if not order_by:
+            raise ValueError(
+                "offset(n) requires explicit order columns, e.g. "
+                "chain.offset(100, 'id') — a global offset is undefined "
+                "without a total order"
+            )
+        cs = [F.col(c) if isinstance(c, str) else c for c in order_by]
+        return self._evolve(self.df.orderBy(*cs).offset(n))
 
     def distinct(self, *cols: str) -> "Chain":
         return self._evolve(self.df.dropDuplicates(list(cols) or None))

@@ -43,17 +43,23 @@ def diff(
         compare = [c for c in left.columns if c in set(right.columns) and c not in set(on)]
     out_cols = left.columns
 
+    # explicit presence markers: the join is null-safe (NULL keys are valid
+    # key values), so presence cannot be inferred from key-column nullness —
+    # a left-only row whose first key column is NULL would otherwise be
+    # misclassified as M/S instead of A
+    l = left.withColumn("__l_present", F.lit(True))
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, f"__r_{c}")
+    r = r.withColumn("__r_present", F.lit(True))
     cond = None
     for k in on:
         e = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
         cond = e if cond is None else (cond & e)
-    j = left.join(r, cond, "full_outer")
+    j = l.join(r, cond, "full_outer")
 
-    left_absent = F.col(on[0]).isNull() & ~F.col(f"__r_{on[0]}").isNull()
-    right_absent = F.col(f"__r_{on[0]}").isNull() & ~F.col(on[0]).isNull()
+    left_absent = F.col("__l_present").isNull()
+    right_absent = F.col("__r_present").isNull()
     modified = None
     for c in compare:
         e = ~F.col(c).eqNullSafe(F.col(f"__r_{c}"))

@@ -37,6 +37,17 @@ Scale notes (100 TB / 1000 executors):
   history; compaction bounds segments-per-bucket.
 - Buckets are assigned by pmod(xxhash64(key), B): deterministic across
   cluster sizes and restarts.
+- The exactly-once ledger is carried IN the snapshot as a per-job set of
+  committed batch-id ranges (contiguous runs collapse to [lo, hi] pairs),
+  so `batch_committed` is an O(1) driver-side dict lookup instead of an
+  O(versions) manifest scan — and it survives `expire_versions`.
+
+Durability assumption: the atomic commit point is POSIX `rename(2)` of the
+manifest into `versions/` (plus `os.listdir` for version discovery), which
+is atomic-and-visible on local disks, NFS, and HDFS-like stores. On S3-style
+object stores this protocol needs a real catalog (conditional PUT /
+compare-and-swap, as Iceberg's catalog layer provides); the table format
+itself — immutable manifests + immutable data files — ports unchanged.
 """
 
 from __future__ import annotations
@@ -61,6 +72,22 @@ META_FIELDS = [
 ]
 
 
+def _add_committed(committed: dict[str, list[list[int]]], job_id: str, batch_id: int) -> None:
+    """Fold one committed batch id into a job's merged [lo, hi] range list
+    (kept sorted; adjacent ranges coalesce, so in-order replay stays at one
+    range per job)."""
+    rs = committed.setdefault(job_id, [])
+    rs.append([batch_id, batch_id])
+    rs.sort()
+    merged: list[list[int]] = []
+    for lo, hi in rs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    committed[job_id] = merged
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -73,6 +100,8 @@ class Snapshot:
     dirty: dict[int, bool] = field(default_factory=dict)  # bucket needs LWW resolve
     tag: str | None = None
     ledger: dict[str, Any] | None = None  # commit-manifest row (exactly-once)
+    # job_id -> merged [lo, hi] committed-batch ranges (exactly-once lookup)
+    committed: dict[str, list[list[int]]] = field(default_factory=dict)
     props: dict[str, Any] = field(default_factory=dict)
     created_at: float = 0.0
 
@@ -93,6 +122,7 @@ class Snapshot:
                 "dirty": {str(k): v for k, v in self.dirty.items()},
                 "tag": self.tag,
                 "ledger": self.ledger,
+                "committed": self.committed,
                 "props": self.props,
                 "created_at": self.created_at,
             },
@@ -113,6 +143,7 @@ class Snapshot:
             dirty={int(k): v for k, v in d.get("dirty", {}).items()},
             tag=d.get("tag"),
             ledger=d.get("ledger"),
+            committed=d.get("committed") or {},
             props=d.get("props") or {},
             created_at=d.get("created_at", 0.0),
         )
@@ -315,6 +346,9 @@ class LakeTable:
         watermarks = dict(parent.watermarks)
         for b, lsn in (watermark_updates or {}).items():
             watermarks[b] = max(lsn, watermarks.get(b, -1))
+        committed = {j: [list(r) for r in rs] for j, rs in parent.committed.items()}
+        if ledger is not None and "job_id" in ledger and "batch_id" in ledger:
+            _add_committed(committed, str(ledger["job_id"]), int(ledger["batch_id"]))
         snap = Snapshot(
             version=parent.version + 1,
             parent=parent.version,
@@ -326,6 +360,7 @@ class LakeTable:
             dirty=dirty,
             tag=tag,
             ledger=ledger,
+            committed=committed,
             props=props or {},
             created_at=time.time(),
         )
@@ -347,6 +382,7 @@ class LakeTable:
             watermarks=dict(src.watermarks),
             dirty=dict(src.dirty),
             tag=tag,
+            committed={j: [list(r) for r in rs] for j, rs in src.committed.items()},
             created_at=time.time(),
         )
         self._write_manifest(snap)
@@ -398,11 +434,12 @@ class LakeTable:
 
     # ---------- exactly-once ledger ----------
     def batch_committed(self, job_id: str, batch_id: int) -> bool:
-        """Has (job_id, batch_id) already been applied? Scans manifests from
-        HEAD backwards — replays in practice hit the most recent versions."""
-        for v in reversed(self.versions()):
-            led = self.snapshot(v).ledger
-            if led and led.get("job_id") == job_id and led.get("batch_id") == batch_id:
+        """Has (job_id, batch_id) already been applied? O(1): the HEAD
+        snapshot carries the committed-batch range set per job (contiguous
+        replays collapse to a single [lo, hi] pair, so the manifest cost is
+        O(gaps), not O(batches) — bounded over a 10^10-event replay)."""
+        for lo, hi in self.snapshot().committed.get(job_id, []):
+            if lo <= batch_id <= hi:
                 return True
         return False
 
@@ -472,9 +509,12 @@ class LakeTable:
 
     def expire_versions(self, keep_last: int = 10) -> int:
         """Vacuum: drop manifests (and data files referenced by no kept
-        version) older than the last `keep_last` versions."""
+        version) older than the last `keep_last` versions. `keep_last` must
+        be >= 1 — HEAD (and the files it references) is always retained."""
+        if keep_last < 1:
+            raise ValueError("expire_versions requires keep_last >= 1 (HEAD must survive)")
         vs = self.versions()
-        drop = vs[:-keep_last] if keep_last else vs
+        drop = vs[:-keep_last]
         if not drop:
             return 0
         keep = vs[len(drop) :]

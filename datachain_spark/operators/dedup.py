@@ -223,15 +223,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-free inverted-index candidates:
     explode shingles, self-join on shingle (the inverted index), count
-    shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Candidate set
-    is bounded by shared-shingle pairs, not all-pairs."""
+    shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+
+    `max_df` drops shingles appearing in more than that many documents
+    BEFORE the self-join — the standard stop-shingle cap. Without it one
+    ubiquitous shingle ("in the of" at corpus scale) yields a quadratic
+    posting-list join: df docs sharing a shingle produce df^2/2 joined
+    rows. Dropped hot shingles only LOWER a pair's computed intersection
+    (denominator still uses full sizes), so the result under-reports
+    similarity driven purely by boilerplate shingles — the accepted
+    trade-off of the technique. Candidate set is bounded by
+    sum(df_g^2) over kept shingles, never all-pairs."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    doc_freq = sh.groupBy("g").agg(F.count("*").alias("__df"))
+    sh = (
+        sh.join(doc_freq.filter(F.col("__df") > max_df), "g", "left_anti")
+        if max_df is not None
+        else sh
+    )
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))

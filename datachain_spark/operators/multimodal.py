@@ -39,11 +39,17 @@ def fake_image_decoder(payload: bytes) -> dict:
     this container."""
     if payload is None:
         raise NotImplementedError("real decoder not available in this environment")
+    import hashlib
+
     n = len(payload)
     return {
         "n_bytes": n,
         "mean_byte": (sum(payload[:256]) / min(n, 256)) if n else 0.0,
-        "phash": hash(bytes(payload[:64])) & 0x7FFFFFFF,
+        # seed-independent digest: Python's built-in hash(bytes) is salted
+        # per process (PYTHONHASHSEED), which would make phash differ across
+        # executors/runs and break phash-based dedup determinism
+        "phash": int.from_bytes(hashlib.md5(bytes(payload[:64])).digest()[:4], "big")
+        & 0x7FFFFFFF,
     }
 
 

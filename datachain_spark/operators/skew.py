@@ -32,7 +32,11 @@ def salted_agg(
                                        "mean": ("avg", "value")})
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    s = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    # salt from a content hash of the whole row, NOT monotonically_increasing_id:
+    # the latter is partition-layout-dependent, so a recomputed/speculated task
+    # could re-salt rows differently and double-count a retried partial. A
+    # deterministic per-row hash is retry-stable and equally uniform.
+    s = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
 
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []

@@ -69,7 +69,12 @@ def test_distinct_sample_chunk_offset(ch):
     assert ch.sample(3).count() == 3
     chunks = [ch.chunk(i, 3, "id").count() for i in range(3)]
     assert sum(chunks) == 5
-    assert ch.order_by("id").offset(2).count() == 3
+    assert ch.offset(2, "id").count() == 3
+    assert sorted(ch.offset(2, "id").to_values("id")) == [3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        ch.offset(2)
     a, b = ch.train_test_split([0.5, 0.5])
     assert a.count() + b.count() == 5
 

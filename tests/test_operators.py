@@ -58,6 +58,18 @@ def test_diff_null_safe_keys(spark):
     assert len(d) == 1 and d[0]["diff_status"] == "S"  # null key matches null key
 
 
+def test_diff_null_key_one_sided_rows(spark):
+    """A left-only or right-only row whose key is NULL must classify as A/D
+    (presence markers), not fall through to M/S via key-nullness checks."""
+    old = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    new = spark.createDataFrame([(None, 2.0), (1, 1.0)], "id int, v double")
+    got = {(r["id"], r["diff_status"]) for r in diff(new, old, on=["id"]).collect()}
+    assert got == {(None, "A"), (1, "S")}
+    # and the mirror: null-key row only on the right -> D
+    got2 = {(r["id"], r["diff_status"]) for r in diff(old, new, on=["id"]).collect()}
+    assert got2 == {(None, "D"), (1, "S")}
+
+
 # ---------------- dedup ----------------
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
@@ -105,6 +117,29 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(0, 1)] == 1.0
     assert 0.3 <= pairs[(0, 3)] < 1.0  # near-dup overlaps partially
     assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A ubiquitous shingle must be droppable via max_df: docs that share
+    ONLY the hot shingle produce no candidate pair at all."""
+    hot = "alpha beta gamma"  # appears in every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(6)]
+    rows += [(100, f"{hot} shared extra words"), (101, f"{hot} shared extra words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the corpus-wide df of the hot shingle (8 docs): pairs driven
+    # only by the hot shingle vanish; the true dup pair (100,101) survives
+    # via its other shared shingles
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=4).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # no hot-shingle-only pairs
+    # sanity: without a cap the unique docs pair up through the hot shingle
+    # at low threshold
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, max_df=None).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_df=4).count()
+    assert uncapped > capped
 
 
 # ---------------- text ----------------
@@ -251,3 +286,7 @@ def test_lake_expire_versions(spark, tmp_path):
     removed = table.expire_versions(keep_last=2)
     assert removed >= 0 and len(table.versions()) == 2
     assert table.read(spark).count() == n_before  # HEAD unaffected
+    # keep_last=0 would delete HEAD and leave the table unreadable: refused
+    with pytest.raises(ValueError, match="keep_last"):
+        table.expire_versions(keep_last=0)
+    assert table.read(spark).count() == n_before

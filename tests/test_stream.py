@@ -59,6 +59,45 @@ def test_stream_crash_resume(spark, feed_dir, oracle_rows, tmp_path):
     assert final_state(spark, table) == oracle_rows
 
 
+def test_stream_multifile_batch_dirs_interleaved_lsn(spark, tmp_path):
+    """Regression for the ordered-delivery hazard: write_feed salts each
+    feed-batch dir into several files with INTERLEAVED lsn ranges, and the
+    file-streaming source at maxFilesPerTrigger=1 delivers them one per
+    epoch — so a high-lsn file can apply before a lower-lsn file of the
+    same feed batch. A per-bucket high-watermark stale filter would then
+    silently drop the later (unseen) events. apply_batch must not assume
+    lsn-ordered delivery in streaming mode: final state == oracle."""
+    # disable AQE partition coalescing during the write so tiny test data
+    # still fans out to multiple files per batch dir (interleaved by salt)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    feed = str(tmp_path / "mfeed")
+    try:
+        write_feed(spark, SPEC, feed, files_per_batch=4)
+    finally:
+        spark.conf.set(key, prev)
+    # verify the hazard precondition: some batch dir really has >1 file
+    import os
+
+    from datachain_spark.cdc.feed import feed_batch_dirs
+
+    multi = [
+        d
+        for _, d in feed_batch_dirs(feed)
+        if len([f for f in os.listdir(d) if f.endswith(".parquet")]) > 1
+    ]
+    assert multi, "test setup failed: no multi-file batch dirs"
+    table, _ = run_stream(
+        spark, str(tmp_path / "t"), feed, str(tmp_path / "ckpt"),
+        num_buckets=8, max_files_per_trigger=1,
+    )
+    expected = [
+        (c, t, r, normalize_text(x), tool) for (c, t, r, x, tool) in oracle_replay(SPEC)
+    ]
+    assert final_state(spark, table) == expected
+
+
 def test_ledger_df_schema_and_listener(spark, feed_dir, tmp_path):
     table, metrics = run_stream(
         spark, str(tmp_path / "t"), feed_dir, str(tmp_path / "ckpt"), num_buckets=8

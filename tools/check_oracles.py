@@ -64,14 +64,24 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(sql)
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
             failures += 1
             continue
         ok = True
+        # The driver hashes TYPED values: duckdb HUGEINT (what sum(int)
+        # returns) renders differently from int64 even when the values are
+        # equal — exactly the round-1 sessionize/document_pipeline hash
+        # failures. Treat any HUGEINT/DECIMAL oracle column as a failure so
+        # the local gate catches it before the driver does.
+        exotic = [f"{c}:{t}" for c, t in zip(dcols, dtypes) if "HUGEINT" in t or "DECIMAL" in t]
+        if exotic:
+            print(f"FAIL {name}: oracle emits hash-hazard types {exotic} — CAST them")
+            ok = False
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
