@@ -35,9 +35,11 @@ def _cdc_spec(sf_dir: str):
 
 def cdc_transcripts_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feed replay -> final transcripts table (versioned LakeTable,
-    exactly-once ledger, LWW, schema evolution). Non-SQL-expressible end to
-    end (versioned merge engine) -> rows-only driver check; pytest holds
-    the strong oracle (tests/test_cdc_replay.py)."""
+    exactly-once ledger, LWW, schema evolution). The feed is pure
+    arithmetic, so the DuckDB oracle regenerates every event from first
+    principles and replays LWW-by-lsn in SQL — a value-exact end-to-end
+    check of the whole merge engine; pytest holds the process-level
+    oracles (crash-resume, idempotence: tests/test_cdc_replay.py)."""
     from datachain_spark.cdc.apply import replay_feed_dir
     from datachain_spark.cdc.feed import write_feed
 
@@ -313,21 +315,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64-based signatures are not
-    reproducible in DuckDB -> rows-only driver check; pytest asserts exact
-    duplicate pairs are found on a known corpus)."""
+    """MinHash+LSH near-dup pairs, md5-based signatures so DuckDB can
+    recompute them from first principles. Oracle equivalence: with
+    threshold 0.9 over 32 hashes / 8 bands, mismatches <= 3 < 8, so by
+    pigeonhole every above-threshold pair shares a full band — the banded
+    LSH output EQUALS brute-force all-pairs (operators/dedup.py)."""
     from datachain_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_lsh_pairs(docs, threshold=0.9).select("id_a", "id_b").orderBy("id_a", "id_b")
+    return (
+        minhash_lsh_pairs(docs, threshold=0.9, hash_mode="md5")
+        .select("id_a", "id_b", "n_match")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (rows-only check — xxhash64 not in DuckDB)."""
+    """SimHash near-dups, md5 token hashes (60-bit) so DuckDB recomputes
+    the same fingerprints; chunk blocking has 100% recall at hamming<=3,
+    so the output equals brute-force all-pairs — value-exact oracle."""
     from datachain_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_dups(docs, max_hamming=3, hash_mode="md5").orderBy("id_a", "id_b")
 
 
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +364,19 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "value", F.col("asof_err_value").alias("last_err_value")
     ).orderBy("event_id")
+
+
+def read_storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_storage over a local dir -> File struct rows (reference
+    storage.py:21-262); metadata-only listing (content column pruned away,
+    no bytes read). Oracle: DuckDB read_blob() over the same glob."""
+    from datachain_spark.sources.storage import read_storage
+
+    files = read_storage(spark, sf_dir, type="meta", glob="*.parquet")
+    return files.select(
+        F.element_at(F.split(F.col("file.path"), "/"), -1).alias("name"),
+        F.col("file.size").alias("size"),
+    ).orderBy("name")
 
 
 def pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
         "asof_last_error": asof_last_error,
+        "read_storage_listing": read_storage_listing,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
         "exists_semi": exists_semi,
@@ -498,6 +522,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EN = "'the','and','of','to','a','in','is','it','that','for'"
 _ES = "'el','la','de','que','y','en','un','es','se','no'"
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# md5-derived 60-bit hash, bit-identical to Spark's
+# conv(substring(md5(s),1,15),16,10) — shared by the minhash/simhash oracles
+_MD5I = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle_sql() -> str:
+    """Brute-force all-pairs MinHash oracle. Signature arithmetic is
+    identical to operators/dedup.py minhash_from_base (a_i = 2i+1,
+    b_i = 104729(i+1), mod 2^31-1 over md5-based shingle hashes); no
+    banding needed — see minhash_near_dup_pairs' pigeonhole argument."""
+    m = 2147483647
+    perms = ",\n               ".join(
+        f"coalesce(list_min(list_transform(bh, h -> (h * {2 * i + 1} + {104729 * (i + 1)}) % {m})), {m})"
+        for i in range(32)
+    )
+    base = _MD5I.format(s="s")
+    return f"""
+        WITH norm AS (
+          SELECT doc_id AS id,
+                 regexp_split_to_array({_NORM}, ' ') AS toks
+          FROM documents WHERE doc_id < 2000
+        ),
+        grams AS (
+          SELECT id, CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [] END AS g
+          FROM norm
+        ),
+        based AS (
+          SELECT id, list_transform(g, s -> {base} % {m}) AS bh FROM grams
+        ),
+        sig AS (
+          SELECT id, [{perms}] AS sig
+          FROM based
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) AS INT) AS n_match
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) >= 29
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force all-pairs SimHash oracle: 60-bit md5 token hashes,
+    per-bit +1/-1 votes, hamming = bit_count(xor); equals the blocked
+    Spark output because chunk blocking has 100% recall at hamming<=3."""
+    th = _MD5I.format(s="t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(ths, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_distinct(regexp_split_to_array({_NORM}, ' ')) AS ts
+          FROM documents WHERE doc_id < 1000
+        ),
+        hashed AS (
+          SELECT id, list_transform(ts, t -> {th}) AS ths FROM toks
+        ),
+        sh AS (
+          SELECT id, {bits} AS sh FROM hashed
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY id_a, id_b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -703,6 +799,12 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = e.user_id AND c.ts >= e.ts
             ORDER BY c.event_id
         """,
+        # driver runs oracles at sf0.01 only -> the listed dir is fixed
+        "read_storage_listing": """
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+            ORDER BY name
+        """,
         "pivot_by_type": """
             SELECT user_id,
                    round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS sum_click,
@@ -723,6 +825,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        "minhash_near_dup_pairs": _minhash_oracle_sql(),
+        "simhash_near_dup_pairs": _simhash_oracle_sql(),
+        # Full CDC-replay oracle, self-contained: the feed is pure
+        # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates
+        # every event from first principles and replays last-writer-wins
+        # by lsn per (conv_id, turn_idx) — verifying the ENTIRE engine
+        # (feed gen, batching, LWW merge, tombstones, duplicate delivery,
+        # schema evolution, text normalization) end to end. Constants are
+        # the sf0.01 spec: n_convs=120, hot_every=100, hot_base=200,
+        # P = next_prime(120 << 12) = 491527, tool_lsn = 9P = 4423743.
+        "cdc_transcripts_final": r"""
+            WITH keys AS (
+              SELECT ci, unnest(range(CASE WHEN ci % 100 = 0
+                                           THEN 200 + (ci % 17) * 100
+                                           ELSE 4 + ci % 13 END)) AS t
+              FROM range(120) c(ci)
+            ),
+            k2 AS (
+              SELECT ci, t,
+                     ci * 4096 + t AS ki,
+                     (ci * 1000003 + t * 7919) % 1000000007 AS h,
+                     'conv-' || printf('%08d', ci) AS conv_id,
+                     'turn ' || t || ' of conv-' || printf('%08d', ci) || ': '
+                       || repeat('tok ', CAST(t % 7 AS INT)) AS base_text
+              FROM keys
+            ),
+            ev AS (
+              SELECT (ki * 48271) % 491527 AS lsn, 'I' AS op, conv_id, t, h,
+                     base_text AS text FROM k2
+              UNION ALL
+              SELECT 491527 + ki * 16 + (k - 1), 'U', conv_id, t, h,
+                     base_text || ' (rev ' || k || ')'
+              FROM (SELECT *, unnest(range(1, CAST(2 + h % 3 AS INT))) AS k
+                    FROM k2 WHERE h % 5 = 0)
+              UNION ALL
+              SELECT 17 * 491527 + ki * 16, 'D', conv_id, t, h, NULL
+              FROM k2 WHERE h % 23 = 0
+              UNION ALL
+              SELECT 17 * 491527 + ki * 16 + 1, 'I', conv_id, t, h,
+                     base_text || ' (reborn)'
+              FROM k2 WHERE h % 46 = 0
+            ),
+            winner AS (
+              SELECT * FROM ev
+              QUALIFY row_number() OVER (PARTITION BY conv_id, t
+                                         ORDER BY lsn DESC) = 1
+            )
+            SELECT conv_id,
+                   CAST(t AS INT) AS turn_idx,
+                   ['user', 'assistant', 'tool', 'system'][CAST(t % 4 AS INT) + 1] AS role,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS text,
+                   CASE WHEN lsn >= 4423743
+                        THEN ['bash', 'search', ''][CAST(h % 3 AS INT) + 1] END AS tool
+            FROM winner
+            WHERE op <> 'D'
+            ORDER BY conv_id, turn_idx
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

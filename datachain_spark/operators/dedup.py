@@ -41,13 +41,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), JVM-side via slice/transform."""
+    """Word n-gram shingle array (distinct), JVM-side via slice/transform.
+    Documents with fewer than n tokens yield an empty array — the guard
+    matters because Spark's sequence(1, 0) DESCENDS to [1, 0] and
+    slice(_, 0, _) throws."""
     toks = F.split(normalize_for_dedup(text), " ")
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    k = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(empty)
+
+
+def _base_hash(s: Column, hash_mode: str) -> Column:
+    """Per-shingle/token hash in [0, MERSENNE). `xxhash64` is the fast
+    production path; `md5` (first 15 hex chars as int) is bit-identical in
+    DuckDB — CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) — so the driver
+    oracle can recompute signatures from first principles."""
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(MERSENNE))
+    if hash_mode == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(MERSENNE)
+        )
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
@@ -67,14 +85,16 @@ def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
+def minhash_signature(
+    text: Column, num_hashes: int = 32, n: int = 3, hash_mode: str = "xxhash64"
+) -> Column:
     """MinHash signature straight from text. NOTE: when used in a single
     projection this recomputes the shingle array per permutation (Catalyst
     does not CSE across higher-order functions) — prefer materializing the
     base hashes in a separate projection (see minhash_lsh_pairs, which is
     32x faster that way)."""
     sh = shingles(text, n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    base = F.transform(sh, lambda s: _base_hash(s, hash_mode))
     return minhash_from_base(base, num_hashes)
 
 
@@ -86,12 +106,22 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.6,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash.
 
     rows/bands hashes per band; a pair collides if any band matches.
-    Verified pairs carry the estimated Jaccard (fraction of matching
-    minhashes). Self-join is on (band_id, band_hash) — never all-pairs."""
+    Verified pairs carry `n_match` (matching minhash components, an exact
+    int) and the estimated Jaccard. Self-join is on (band_id, band_hash) —
+    never all-pairs.
+
+    Oracle-equivalence guarantee (what makes this DuckDB-verifiable): when
+    (1 - threshold) * num_hashes < bands, any pair with est_jaccard >=
+    threshold has fewer mismatching components than bands, so by
+    pigeonhole at least one band matches completely and the pair is
+    ALWAYS a candidate — the banded output equals brute-force all-pairs
+    filtered by threshold, exactly. With hash_mode='md5' the signatures
+    themselves are DuckDB-reproducible, closing the loop."""
     rows_per_band = num_hashes // bands
     # two projection stages: materialize the per-shingle base hashes ONCE,
     # then take the 32 permutation-mins over that array — Catalyst does not
@@ -99,7 +129,7 @@ def minhash_lsh_pairs(
     # formulation recomputes shingling per permutation (measured 10x slower)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))).alias("_base"),
+        F.transform(shingles(F.col(text_col), n), lambda s: _base_hash(s, hash_mode)).alias("_base"),
     )
     sig = base.select("id", minhash_from_base(F.col("_base"), num_hashes).alias("sig"))
     banded = sig.select(
@@ -142,23 +172,30 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
-        )
-    ) / F.lit(float(len(range(num_hashes))))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("n_match", n_match)
+        .withColumn("est_jaccard", F.col("n_match") / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select("id_a", "id_b", "n_match", "est_jaccard")
     )
 
 
-def simhash(text: Column, bits: int = 64, n: int = 1) -> Column:
+def simhash(text: Column, bits: int = 64, n: int = 1, hash_mode: str = "xxhash64") -> Column:
     """SimHash: sign-sum of token-hash bits. Computed JVM-side by summing
-    (+1/-1) per bit over the token array with aggregate()."""
+    (+1/-1) per bit over the token array with aggregate(). With
+    hash_mode='md5' the token hash has 60 random bits (15 md5 hex chars);
+    pass bits=60 so every voted bit is meaningful — hamming distances are
+    then DuckDB-reproducible from first principles."""
     toks = F.array_distinct(F.split(normalize_for_dedup(text), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_mode == "md5":
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     out = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(
@@ -179,11 +216,20 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair within
     hamming distance 3 must agree on at least one chunk — pigeonhole), then
-    verify exact hamming distance with bit_count(xor)."""
-    h = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    verify exact hamming distance with bit_count(xor). Because max_hamming
+    < number of chunks, blocking has 100% recall: the output is EXACTLY
+    all pairs with hamming <= max_hamming, so a brute-force oracle
+    (DuckDB all-pairs over the same signatures, hash_mode='md5') matches
+    value-for-value."""
+    bits = 60 if hash_mode == "md5" else 64
+    h = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, hash_mode=hash_mode).alias("sh"),
+    )
     chunks = h.select(
         "id",
         "sh",

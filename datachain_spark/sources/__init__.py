@@ -1,0 +1,3 @@
+from datachain_spark.sources.storage import file_diff, list_files, read_storage
+
+__all__ = ["read_storage", "list_files", "file_diff"]

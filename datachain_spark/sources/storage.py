@@ -1,0 +1,143 @@
+"""read_storage — directory/bucket listing as File rows, Spark-first.
+
+The reference's #1 entry point (/root/reference/src/datachain/lib/dc/
+storage.py:21-262) lists a bucket/directory into rows of a `File` model
+(source, path, size, etag, is_latest, last_modified — /root/reference/src/
+datachain/lib/file.py:200-255) via an async fsspec scandir
+(/root/reference/src/datachain/lib/listing.py:46-107).
+
+Spark-first rebuild: the `binaryFile` data source does the listing AND the
+(lazy) content read distributed across executors — recursive lookup and
+glob filtering are source options, and Catalyst prunes the `content`
+column away when it is not selected, so a metadata-only listing never
+reads file bytes. The File model becomes a nested STRUCT column (Spark has
+native struct columns; the reference flattens to `file__path` because SQL
+warehouses lack them — SURVEY.md §1.1).
+
+On a real cluster the same code lists s3a://... through the Hadoop
+filesystem layer; no fsspec, no driver-side listing loop. The reference's
+4h listing cache (listing.py:26) is replaced by nothing: a listing here is
+a lazy DataFrame, recomputed on action like any other scan (persist() or
+save() it for reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FILE_STRUCT_FIELDS = ["source", "path", "size", "last_modified", "etag", "is_latest"]
+
+
+def list_files(
+    spark: SparkSession,
+    uri: str,
+    recursive: bool = True,
+    glob: str | None = None,
+    update: bool = False,
+) -> DataFrame:
+    """Raw listing: one row per file with (path, length, modificationTime,
+    content available lazily). `glob` filters file NAMES (reference's glob
+    over the listing, lib/listing.py:73-107). `update=True` invalidates
+    Spark's session file-status cache for the path first — the exact
+    analog of the reference's `update` flag over its 4h-TTL listing cache
+    (lib/listing.py:26): without it, a re-listing of a path already
+    scanned this session returns the cached statuses."""
+    if update:
+        spark.catalog.refreshByPath(uri)
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(bool(recursive)).lower()
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(uri)
+
+
+def read_storage(
+    spark: SparkSession,
+    uri: str,
+    type: str = "binary",  # noqa: A002 - reference API name
+    recursive: bool = True,
+    glob: str | None = None,
+    column: str = "file",
+    update: bool = False,
+) -> DataFrame:
+    """List `uri` into File rows (reference read_storage semantics).
+
+    type='meta'   -> File struct only (no bytes are read: content is pruned)
+    type='binary' -> File struct + `data` binary column
+    type='text'   -> File struct + `text` string column (UTF-8 decode)
+
+    The File struct: source (the listed root), path (relative to it), size,
+    last_modified, etag (deterministic digest of path+size+mtime — local
+    filesystems have no server etag; object stores would supply one), and
+    is_latest (always true here: local listings have no versioning).
+    """
+    df = list_files(spark, uri, recursive=recursive, glob=glob, update=update)
+    root = uri.rstrip("/")
+    rel = F.regexp_replace(F.col("path"), r"^file:", "")
+    rel = F.regexp_replace(rel, "^" + _re_quote(root) + "/?", "")
+    file_struct = F.struct(
+        F.lit(root).alias("source"),
+        rel.alias("path"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("last_modified"),
+        F.md5(
+            F.concat_ws(
+                "\x00", rel, F.col("length"), F.col("modificationTime").cast("long")
+            )
+        ).alias("etag"),
+        F.lit(True).alias("is_latest"),
+    )
+    if type == "meta":
+        return df.select(file_struct.alias(column))
+    if type == "binary":
+        return df.select(file_struct.alias(column), F.col("content").alias("data"))
+    if type == "text":
+        return df.select(
+            file_struct.alias(column), F.decode(F.col("content"), "UTF-8").alias("text")
+        )
+    raise ValueError(f"unknown type {type!r}: expected meta|binary|text")
+
+
+def _re_quote(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def file_diff(
+    left: DataFrame,
+    right: DataFrame,
+    column: str = "file",
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Diff two File listings on (source, path), comparing etag (i.e.
+    size+mtime) by default — the reference's file_diff
+    (/root/reference/src/datachain/datachain.py:1998-2069) specialized on
+    File unique keys. Returns the left schema + diff_status in A/D/M/S.
+
+    NOTE: a listing DataFrame is lazy over a mutable filesystem; the
+    "old" side must be a MATERIALIZED snapshot (localCheckpoint(), a saved
+    dataset, or parquet export), exactly as the reference diffs against a
+    persisted lst__ dataset — a cached plan is invalidated by the
+    update=True refresh and would silently re-list the new state."""
+    from datachain_spark.diff import diff
+
+    compare = compare or ["etag"]
+    lf = left.withColumn("__src", F.col(f"{column}.source")).withColumn(
+        "__path", F.col(f"{column}.path")
+    )
+    rf = right.withColumn("__src", F.col(f"{column}.source")).withColumn(
+        "__path", F.col(f"{column}.path")
+    )
+    for c in compare:
+        lf = lf.withColumn(f"__cmp_{c}", F.col(f"{column}.{c}"))
+        rf = rf.withColumn(f"__cmp_{c}", F.col(f"{column}.{c}"))
+    out = diff(
+        lf,
+        rf,
+        on=["__src", "__path"],
+        compare=[f"__cmp_{c}" for c in compare],
+    )
+    return out.drop("__src", "__path", *[f"__cmp_{c}" for c in compare])

@@ -103,10 +103,38 @@ def test_minhash_finds_exact_and_near_dups(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_md5_mode_matches_duckdb_semantics(spark, docs):
+    """md5 hash_mode finds the same exact-dup structure and its n_match for
+    identical docs is the full signature length."""
+    rows = {(r["id_a"], r["id_b"]): r["n_match"] for r in minhash_lsh_pairs(docs, threshold=0.9, hash_mode="md5").collect()}
+    assert rows[(0, 1)] == 32 and rows[(0, 2)] == 32
+    assert not any(4 in p for p in rows)
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens must yield an empty shingle array (not
+    crash — Spark's sequence(1,0) descends and slice(_,0,_) throws)."""
+    df = spark.createDataFrame([("a b",), ("",), ("a b c d",)], "text string")
+    out = [r["s"] for r in df.select(shingles(F.col("text"), 3).alias("s")).collect()]
+    assert out[0] == [] and out[1] == []
+    assert sorted(out[2]) == ["a b c", "b c d"]
+    # and the pair operators survive such docs end to end
+    short = spark.createDataFrame([(0, "a b"), (1, "a b"), (2, "")], "doc_id long, text string")
+    assert minhash_lsh_pairs(short, threshold=0.9).count() >= 1  # (0,1) identical
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs).collect()}
     assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0  # normalized-identical
     assert not any(4 in p for p in pairs)
+
+
+def test_simhash_md5_mode(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, hash_mode="md5").collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
 
 
 def test_ngram_jaccard(spark, docs):
