@@ -366,6 +366,28 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def nested_struct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested StructType roundtrip: pack events into a 2-level struct,
+    filter and aggregate THROUGH dotted field paths. Catalyst collapses
+    CreateNamedStruct + GetStructField to direct column refs, so the plan
+    is identical to the flat query — that invariant is what the oracle
+    (written flat) verifies."""
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id"),
+            F.struct(F.col("event_type"), F.col("value")).alias("detail"),
+        ).alias("e"),
+    )
+    return (
+        nested.filter(F.col("e.detail.value") > 50)
+        .groupBy(F.col("e.user_id").alias("user_id"), F.col("e.detail.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("e.detail.value"), 2).alias("total"))
+        .orderBy("user_id", "event_type")
+    )
+
+
 def read_storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_storage over a local dir -> File struct rows (reference
     storage.py:21-262); metadata-only listing (content column pruned away,
@@ -512,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
         "asof_last_error": asof_last_error,
+        "nested_struct_project": nested_struct_project,
         "read_storage_listing": read_storage_listing,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
@@ -798,6 +821,11 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN errors e
               ON c.user_id = e.user_id AND c.ts >= e.ts
             ORDER BY c.event_id
+        """,
+        "nested_struct_project": """
+            SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS total
+            FROM events WHERE value > 50
+            GROUP BY user_id, event_type ORDER BY user_id, event_type
         """,
         # driver runs oracles at sf0.01 only -> the listed dir is fixed
         "read_storage_listing": """

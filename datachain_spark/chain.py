@@ -35,28 +35,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datachain_spark.lake.table import LakeTable
+from datachain_spark.udf import (
+    Lifecycle,
+    infer_output,
+    infer_params,
+    is_model,
+    model_to_struct,
+    spark_type_of,
+)
 
 DEFAULT_CATALOG = os.environ.get("DATACHAIN_SPARK_HOME", os.path.expanduser("~/.datachain_spark"))
 
-_PY_TO_SPARK: dict[type, T.DataType] = {
-    int: T.LongType(),
-    float: T.DoubleType(),
-    str: T.StringType(),
-    bool: T.BooleanType(),
-    bytes: T.BinaryType(),
-}
-
-
-def _dtype(t: Any) -> T.DataType:
-    if isinstance(t, T.DataType):
-        return t
-    if t in _PY_TO_SPARK:
-        return _PY_TO_SPARK[t]
-    raise TypeError(f"unsupported output type {t!r}")
-
 
 def _output_schema(output: dict[str, Any]) -> T.StructType:
-    return T.StructType([T.StructField(k, _dtype(v), True) for k, v in output.items()])
+    # values may be python types, Spark DataTypes, typing generics
+    # (list[float], Optional[str]) or dataclass/NamedTuple models (nested
+    # StructType) — see datachain_spark/udf.py
+    return T.StructType([T.StructField(k, spark_type_of(v), True) for k, v in output.items()])
+
+
+def _model_cell(v: Any) -> Any:
+    """Model instance -> dict tree (what Arrow expects for struct cells)."""
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(v) and not isinstance(v, type):
+        return {f.name: _model_cell(getattr(v, f.name)) for f in _dc.fields(v)}
+    if isinstance(v, tuple) and hasattr(v, "_fields"):
+        return {n: _model_cell(getattr(v, n)) for n in v._fields}
+    return v
+
+
+class DeltaDisabledError(RuntimeError):
+    """Raised for order/set-sensitive operators on a delta-enabled chain —
+    incremental recompute over a diff is incorrect through aggregations,
+    unions, distinct or merges (the reference refuses identically,
+    /root/reference/src/datachain/delta.py:27-45, decorators at
+    datachain.py:1247,1302,1843). Pass delta_unsafe=True to as_delta() to
+    override knowingly."""
 
 
 class C:
@@ -81,12 +96,35 @@ class C:
 class Chain:
     """Lazy chainable dataset. Immutable: every method returns a new Chain."""
 
-    def __init__(self, df: DataFrame, catalog_root: str = DEFAULT_CATALOG):
+    def __init__(
+        self,
+        df: DataFrame,
+        catalog_root: str = DEFAULT_CATALOG,
+        delta: bool = False,
+        delta_unsafe: bool = False,
+    ):
         self.df = df
         self.catalog_root = catalog_root
+        self._delta = delta
+        self._delta_unsafe = delta_unsafe
 
     def _evolve(self, df: DataFrame) -> "Chain":
-        return Chain(df, self.catalog_root)
+        return Chain(df, self.catalog_root, delta=self._delta, delta_unsafe=self._delta_unsafe)
+
+    # ---------- delta guard (reference delta.py:27-45) ----------
+    def as_delta(self, delta_unsafe: bool = False) -> "Chain":
+        """Mark this chain delta-enabled: downstream order/set-sensitive
+        operators (group_by/union/distinct/merge/subtract/agg) raise
+        DeltaDisabledError, because replaying them over a source DIFF does
+        not equal recomputing them over the full source."""
+        return Chain(self.df, self.catalog_root, delta=True, delta_unsafe=delta_unsafe)
+
+    def _guard_delta(self, op: str) -> None:
+        if self._delta and not self._delta_unsafe:
+            raise DeltaDisabledError(
+                f"{op}() on a delta-enabled chain produces incorrect increments; "
+                "use as_delta(delta_unsafe=True) to override"
+            )
 
     # ---------- schema ----------
     @property
@@ -102,8 +140,31 @@ class Chain:
         return self
 
     # ---------- projections / filters (reference datachain.py:1263-1511) ----------
-    def select(self, *names: str) -> "Chain":
-        return self._evolve(self.df.select(*names))
+    def select(self, *names: str | Column) -> "Chain":
+        """Nested-aware select: dotted names keep PARTIAL models —
+        select("file.path") yields a `file` struct containing only `path`,
+        mirroring the reference's partial-model select
+        (/root/reference/src/datachain/lib/signal_schema.py:260-279);
+        Spark-native flat extraction is one .alias away when wanted."""
+        if not any(isinstance(n, str) and "." in n for n in names):
+            return self._evolve(self.df.select(*names))
+        proj: list[Column] = []
+        grouped: dict[str, list[str]] = {}
+        order: list[tuple[str, Any]] = []  # ("col", c) | ("root", name)
+        for n in names:
+            if isinstance(n, str) and "." in n:
+                root, rest = n.split(".", 1)
+                if root not in grouped:
+                    order.append(("root", root))
+                grouped.setdefault(root, []).append(rest)
+            else:
+                order.append(("col", n))
+        for kind, v in order:
+            if kind == "col":
+                proj.append(F.col(v) if isinstance(v, str) else v)
+            else:
+                proj.append(_partial_struct(v, grouped[v]).alias(v))
+        return self._evolve(self.df.select(*proj))
 
     def select_except(self, *names: str) -> "Chain":
         return self._evolve(self.df.drop(*names))
@@ -150,6 +211,7 @@ class Chain:
         return self._evolve(self.df.orderBy(*cs).offset(n))
 
     def distinct(self, *cols: str) -> "Chain":
+        self._guard_delta("distinct")
         return self._evolve(self.df.dropDuplicates(list(cols) or None))
 
     def sample(self, n: int, seed: int = 42) -> "Chain":
@@ -175,6 +237,7 @@ class Chain:
 
     # ---------- set ops / joins (reference datachain.py:1734-2069) ----------
     def union(self, other: "Chain") -> "Chain":
+        self._guard_delta("union")
         return self._evolve(self.df.unionByName(other.df))
 
     def merge(
@@ -188,6 +251,7 @@ class Chain:
     ) -> "Chain":
         """Reference merge semantics (datachain.py:1734-1841): left-outer
         by default; right-side name collisions prefixed with `rname`."""
+        self._guard_delta("merge")
         how = "inner" if inner else ("full_outer" if full else "left_outer")
         rdf = right.df
         if isinstance(on, Column):
@@ -216,6 +280,7 @@ class Chain:
         self, other: "Chain", on: str | Sequence[str] | None = None
     ) -> "Chain":
         """Null-safe anti-join (reference warehouse.py:1095-1136)."""
+        self._guard_delta("subtract")
         keys = (
             [on] if isinstance(on, str) else list(on or [c for c in self.columns if c in set(other.columns)])
         )
@@ -251,6 +316,7 @@ class Chain:
 
     # ---------- aggregation (reference datachain.py:1302-1423) ----------
     def group_by(self, *partition_by: str | Column, **aggs: Column) -> "Chain":
+        self._guard_delta("group_by")
         cols = [F.col(c) if isinstance(c, str) else c for c in partition_by]
         agg_cols = [v.alias(k) for k, v in aggs.items()]
         return self._evolve(self.df.groupBy(*cols).agg(*agg_cols))
@@ -271,26 +337,59 @@ class Chain:
         return self.df.agg(F.max(col)).first()[0]
 
     # ---------- UDFs, Arrow-vectorized (reference lib/udf.py:435-636) ----------
-    def map(self, fn: Callable[..., Any], output: dict[str, Any], params: list[str] | None = None) -> "Chain":
+    def map(
+        self,
+        fn: Callable[..., Any] | Any = None,
+        output: dict[str, Any] | T.StructType | None = None,
+        params: list[str] | None = None,
+        **signal_map: Callable[..., Any],
+    ) -> "Chain":
         """1:1 mapper. `fn` is called per row with `params` values (like the
         reference Mapper) but executed over Arrow batches via mapInPandas —
-        no per-row IPC. For fully-vectorized transforms use map_batches."""
+        no per-row IPC. For fully-vectorized transforms use map_batches.
+
+        Reference-parity ergonomics (lib/udf_signature.py:1-236):
+        - `params` default: inferred from the function's parameter NAMES
+          matched against input columns;
+        - `output` default: inferred from the return annotation — a plain
+          type becomes one column named after the function (or the
+          signal_map keyword: `.map(new_col=fn)`), a dataclass/NamedTuple
+          becomes one column per model field (nested models stay nested
+          structs);
+        - `fn` may be a Mapper-style object with process() and optional
+          setup()/teardown(), run once per Python worker
+          (lib/udf.py:241-249)."""
+        default_name = None
+        if fn is None:
+            if len(signal_map) != 1:
+                raise ValueError("map() needs a function or exactly one name=fn keyword")
+            default_name, fn = next(iter(signal_map.items()))
         in_cols = self.df.columns
-        use = params or in_cols
-        out_schema = T.StructType(
-            list(self.df.schema.fields) + list(_output_schema(output).fields)
+        use = params if params is not None else infer_params(fn, in_cols)
+        out_struct = (
+            output
+            if isinstance(output, T.StructType)
+            else _output_schema(output)
+            if output is not None
+            else infer_output(fn, default_name)
         )
-        out_names = list(output.keys())
+        out_schema = T.StructType(list(self.df.schema.fields) + list(out_struct.fields))
+        out_fields = list(out_struct.fields)
+        expand = len(out_fields) > 1
 
         def run(batches):
-            for pdf in batches:
-                res = [fn(*row) for row in pdf[use].itertuples(index=False, name=None)]
-                if len(out_names) == 1:
-                    pdf[out_names[0]] = res
-                else:
-                    for i, name in enumerate(out_names):
-                        pdf[name] = [r[i] for r in res]
-                yield pdf
+            with Lifecycle(fn) as proc:
+                for pdf in batches:
+                    res = [proc(*row) for row in pdf[use].itertuples(index=False, name=None)]
+                    if expand:
+                        cells = [_model_cell(r) for r in res]
+                        for i, f in enumerate(out_fields):
+                            pdf[f.name] = [
+                                c[f.name] if isinstance(c, dict) else c[i] for c in cells
+                            ]
+                    else:
+                        pdf[out_fields[0].name] = [_model_cell(r) for r in res]
+                    yield pdf
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
 
@@ -309,36 +408,66 @@ class Chain:
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
 
-    def gen(self, fn: Callable[..., Iterable[tuple]], output: dict[str, Any], params: list[str] | None = None) -> "Chain":
+    def gen(
+        self,
+        fn: Callable[..., Iterable] | Any,
+        output: dict[str, Any] | T.StructType | None = None,
+        params: list[str] | None = None,
+    ) -> "Chain":
         """1:N generator (reference Generator, lib/udf.py:541-597): `fn`
-        yields output tuples per input row; runs over Arrow batches."""
+        yields output tuples (or model instances) per input row; runs over
+        Arrow batches. Output schema inferable from an Iterator[Model] /
+        Iterator[T] return annotation; setup()/teardown() honored."""
         import pandas as pd
 
-        use = params or self.df.columns
-        out_schema = _output_schema(output)
-        out_names = list(output.keys())
+        use = params if params is not None else infer_params(fn, self.df.columns)
+        out_schema = (
+            output
+            if isinstance(output, T.StructType)
+            else _output_schema(output)
+            if output is not None
+            else infer_output(fn)
+        )
+        out_names = [f.name for f in out_schema.fields]
 
         def run(batches):
-            for pdf in batches:
-                rows = []
-                for row in pdf[use].itertuples(index=False, name=None):
-                    rows.extend(fn(*row))
-                yield pd.DataFrame(rows, columns=out_names)
+            with Lifecycle(fn) as proc:
+                for pdf in batches:
+                    rows = []
+                    for row in pdf[use].itertuples(index=False, name=None):
+                        for item in proc(*row):
+                            cell = _model_cell(item)
+                            rows.append(
+                                tuple(cell[n] for n in out_names)
+                                if isinstance(cell, dict)
+                                else tuple(cell)
+                            )
+                    yield pd.DataFrame(rows, columns=out_names)
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
 
     def agg(
         self,
-        fn: Callable,
+        fn: Callable | Any,
         partition_by: str | Sequence[str],
-        output: dict[str, Any],
+        output: dict[str, Any] | T.StructType,
     ) -> "Chain":
         """N:M grouped aggregator (reference Aggregator, lib/udf.py:600-636):
         `fn(pdf) -> pdf` per group via applyInPandas — the shuffle replaces
-        the reference's dense_rank partitions table (query/dataset.py:781-816)."""
+        the reference's dense_rank partitions table (query/dataset.py:781-816).
+        `output` stays explicit (a pandas-frame transform has no row-typed
+        return annotation to infer from); setup()/teardown() honored, but
+        per GROUP here (applyInPandas exposes no batch-iterator hook) —
+        keep heavyweight resources in map/gen, which run them per worker."""
+        self._guard_delta("agg")
         keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        out_schema = _output_schema(output)
-        return self._evolve(self.df.groupBy(*keys).applyInPandas(lambda pdf: fn(pdf), out_schema))
+        out_schema = output if isinstance(output, T.StructType) else _output_schema(output)
+
+        def run(pdf):
+            with Lifecycle(fn) as proc:
+                return proc(pdf)
+
+        return self._evolve(self.df.groupBy(*keys).applyInPandas(run, out_schema))
 
     # ---------- persistence (reference datachain.py:599-716) ----------
     def persist(self) -> "Chain":
@@ -381,6 +510,20 @@ class Chain:
     def to_json(self, path: str, mode: str = "overwrite") -> None:
         self.df.write.mode(mode).json(path)
 
+    def to_database(
+        self,
+        table: str,
+        url: str,
+        mode: str = "append",
+        on_conflict: list[str] | None = None,
+        **props: str,
+    ) -> None:
+        """JDBC sink with optional set-wise upsert (reference
+        datachain.py:2553-2667) — see datachain_spark/sources/database.py."""
+        from datachain_spark.sources.database import to_database as _to_db
+
+        _to_db(self.df, table, url, mode=mode, on_conflict=on_conflict, **props)
+
     # ---------- driver-side collection (reference datachain.py:1607-3058) ----------
     def to_pandas(self):
         return self.df.toPandas()
@@ -404,6 +547,22 @@ class Chain:
     def show(self, n: int = 20, truncate: bool = True) -> "Chain":
         self.df.show(n, truncate=truncate)
         return self
+
+
+def _partial_struct(prefix: str, rests: list[str]) -> Column:
+    """Reassemble a partial struct from dotted leaf selections, recursively
+    (select("a.b.c") -> a: struct{b: struct{c}})."""
+    leaves: list[str] = []
+    nested: dict[str, list[str]] = {}
+    for r in rests:
+        if "." in r:
+            h, t = r.split(".", 1)
+            nested.setdefault(h, []).append(t)
+        else:
+            leaves.append(r)
+    cols = [F.col(f"{prefix}.{leaf}").alias(leaf) for leaf in leaves]
+    cols += [_partial_struct(f"{prefix}.{h}", ts).alias(h) for h, ts in nested.items()]
+    return F.struct(*cols)
 
 
 def _next_semver(table: LakeTable) -> str:
@@ -439,8 +598,24 @@ def read_json(spark: SparkSession, path: str, schema=None, multiline: bool = Fal
 
 
 def read_values(spark: SparkSession, **cols: list) -> Chain:
-    """In-memory columns -> chain (reference lib/dc/values.py)."""
+    """In-memory columns -> chain (reference lib/dc/values.py). Columns of
+    dataclass/NamedTuple instances become nested STRUCT columns (the
+    reference flattens Pydantic models to `a__b` flat columns,
+    signal_schema.py:260-279; Spark keeps real nesting)."""
     names = list(cols.keys())
+    if any(cols[n] and is_model(type(cols[n][0])) for n in names):
+        fields = []
+        for n in names:
+            vals = cols[n]
+            if vals and is_model(type(vals[0])):
+                fields.append(T.StructField(n, model_to_struct(type(vals[0])), True))
+            else:
+                fields.append(
+                    T.StructField(n, spark_type_of(type(vals[0])) if vals else T.StringType(), True)
+                )
+        schema = T.StructType(fields)
+        rows = [tuple(_model_cell(v) for v in row) for row in zip(*cols.values())]
+        return Chain(spark.createDataFrame(rows, schema))
     rows = list(zip(*cols.values()))
     return Chain(spark.createDataFrame(rows, names))
 
@@ -459,10 +634,58 @@ def read_dataset(
     version: int | str | None = None,
     catalog_root: str = DEFAULT_CATALOG,
 ) -> Chain:
-    """Open a saved dataset at a version (int snapshot id or semver tag;
-    reference lib/dc/datasets.py:27-224)."""
+    """Open a saved dataset at a version: an int snapshot id, an exact
+    semver tag ("v1.2.3" or "1.2.3"), or a SPECIFIER string like
+    ">=1.0.0,<2" / "~=1.2" resolving to the HIGHEST matching tag
+    (reference lib/dc/datasets.py:27-224 accepts the same forms)."""
     table = LakeTable(os.path.join(catalog_root, name))
+    if isinstance(version, str) and any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
+        version = _resolve_semver_spec(table, version)
     return Chain(table.read(spark, version=version), catalog_root=catalog_root)
+
+
+def _resolve_semver_spec(table: LakeTable, spec: str) -> int:
+    """Resolve a comma-ANDed semver specifier against the table's tags and
+    return the snapshot id of the highest matching version."""
+
+    def parse(v: str) -> tuple[int, ...]:
+        v = v.lstrip("v")
+        parts = [int(x) for x in v.split(".") if x != ""]
+        return tuple(parts + [0] * (3 - len(parts)))
+
+    def matches(ver: tuple[int, ...], clause: str) -> bool:
+        clause = clause.strip()
+        for op in ("~=", ">=", "<=", "==", "!=", ">", "<", "="):
+            if clause.startswith(op):
+                rhs_raw = clause[len(op) :].strip()
+                rhs = parse(rhs_raw)
+                if op == "~=":  # compatible release: >= rhs, same major
+                    return ver >= rhs and ver[0] == rhs[0]
+                if op in ("==", "="):
+                    return ver == rhs
+                if op == "!=":
+                    return ver != rhs
+                if op == ">=":
+                    return ver >= rhs
+                if op == "<=":
+                    return ver <= rhs
+                if op == ">":
+                    return ver > rhs
+                return ver < rhs
+        return ver == parse(clause)
+
+    best: tuple[tuple[int, ...], int] | None = None
+    for v in table.versions():
+        tag = table.snapshot(v).tag
+        if not tag or not re.fullmatch(r"v?\d+(\.\d+){0,2}", tag):
+            continue
+        ver = parse(tag)
+        if all(matches(ver, c) for c in spec.split(",")):
+            if best is None or ver > best[0]:
+                best = (ver, v)
+    if best is None:
+        raise KeyError(f"no version of {table.root} matches specifier {spec!r}")
+    return best[1]
 
 
 def datasets(catalog_root: str = DEFAULT_CATALOG) -> list[str]:
@@ -474,8 +697,9 @@ def datasets(catalog_root: str = DEFAULT_CATALOG) -> list[str]:
 
 
 def read_database(spark: SparkSession, query: str, url: str, **props: str) -> Chain:
-    """JDBC read (reference lib/dc/database.py). Requires a JDBC driver on
-    the classpath — import-gated by Spark itself at load time."""
-    return Chain(
-        spark.read.format("jdbc").option("url", url).option("query", query).options(**props).load()
-    )
+    """JDBC read (reference lib/dc/database.py); executed for real against
+    embedded Derby in tests — see datachain_spark/sources/database.py for
+    partitioned parallel reads."""
+    from datachain_spark.sources.database import read_database as _read_db
+
+    return Chain(_read_db(spark, query, url, **props))

@@ -1,3 +1,4 @@
+from datachain_spark.sources.database import read_database, to_database
 from datachain_spark.sources.storage import file_diff, list_files, read_storage
 
-__all__ = ["read_storage", "list_files", "file_diff"]
+__all__ = ["read_storage", "list_files", "file_diff", "read_database", "to_database"]

@@ -1,0 +1,143 @@
+"""read_database / to_database — JDBC both directions, with bulk upsert.
+
+Reference: read_database runs arbitrary SQL over a SQLAlchemy connection
+with schema inference (/root/reference/src/datachain/lib/dc/database.py:302-398);
+to_database does batched INSERTs with an `on_conflict` upsert option
+(/root/reference/src/datachain/datachain.py:2553-2667, lib/dc/database.py:74-300).
+
+Spark-first rebuild:
+- read_database = spark.read.jdbc: the database does the query, Spark
+  infers the schema from JDBC metadata (no N-row sampling cursor), and an
+  optional partitionColumn/bounds spec shards the read over executors —
+  the reference's server-side cursor pagination becomes real parallel
+  range scans.
+- to_database = df.write.jdbc for append/overwrite (executors write in
+  parallel, batched by the JDBC driver). Upsert is NOT row-wise ON
+  CONFLICT (quadratically slow over a network at 10^10 rows): rows bulk-
+  load into a staging table in parallel, then ONE server-side
+  MERGE INTO target USING staging applies the upsert set-wise and the
+  staging table is dropped — the standard warehouse bulk-upsert pattern.
+
+Tested against embedded Apache Derby (on Spark's classpath for the Hive
+metastore); any JDBC URL + driver works the same. Identifiers are
+ANSI-quoted (Spark's JDBC writer creates case-sensitive quoted columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _q(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def read_database(
+    spark: SparkSession,
+    query: str,
+    url: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **props: str,
+) -> DataFrame:
+    """Run `query` on the database and load the result. With a
+    partition_column + bounds, the read shards into num_partitions
+    parallel range queries (WHERE col >= x AND col < y per task)."""
+    r = spark.read.format("jdbc").option("url", url).option("query", query)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        # partitioned reads require dbtable semantics: wrap the query
+        r = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f"({query}) SPARK_SUBQ")
+            .option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+        if driver:
+            r = r.option("driver", driver)
+    return r.options(**props).load()
+
+
+def _exec_update(spark: SparkSession, url: str, *statements: str) -> None:
+    """Driver-side DDL/DML through the JVM's DriverManager (py4j)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for s in statements:
+                st.executeUpdate(s)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, table, None)
+        try:
+            return bool(rs.next())
+        finally:
+            rs.close()
+    finally:
+        conn.close()
+
+
+def to_database(
+    df: DataFrame,
+    table: str,
+    url: str,
+    mode: str = "append",
+    on_conflict: list[str] | None = None,
+    driver: str | None = None,
+    **props: str,
+) -> None:
+    """Write `df` to a database table.
+
+    mode='append'/'overwrite' -> parallel executor JDBC writes.
+    on_conflict=[key cols]    -> UPSERT: bulk-load into a staging table,
+    one server-side MERGE INTO on the keys (update non-key columns of
+    matching rows, insert the rest), drop staging. Mirrors the reference's
+    on_conflict option (lib/dc/database.py:74-300) set-wise instead of
+    row-wise."""
+
+    def write(target: str, m: str) -> None:
+        w = df.write.format("jdbc").option("url", url).option("dbtable", target).mode(m)
+        if driver:
+            w = w.option("driver", driver)
+        w.options(**props).save()
+
+    spark = df.sparkSession
+    if not on_conflict:
+        write(table, mode)
+        return
+    if not _table_exists(spark, url, table):
+        write(table, "errorifexists")
+        return
+    stage = f"{table}_STAGE_{abs(hash((table, tuple(df.columns)))) % 10_000_000}"
+    write(stage, "overwrite")
+    keys = list(on_conflict)
+    non_keys = [c for c in df.columns if c not in keys]
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    set_clause = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+    cols = ", ".join(_q(c) for c in df.columns)
+    vals = ", ".join(f"s.{_q(c)}" for c in df.columns)
+    merge = (
+        f"MERGE INTO {_q(table)} t USING {_q(stage)} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    try:
+        _exec_update(spark, url, merge)
+    finally:
+        _exec_update(spark, url, f"DROP TABLE {_q(stage)}")

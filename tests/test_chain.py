@@ -120,6 +120,18 @@ def test_save_read_dataset_versioning(spark, ch, tmp_path):
     v2 = dc.read_dataset(spark, "pets", version="v1.0.1", catalog_root=cat)
     assert v2.count() == 2
     assert dc.datasets(cat) == ["pets"]
+    # semver SPECIFIERS resolve to the highest matching tag (reference
+    # lib/dc/datasets.py:27-224 accepts ">=1.0,<2" style)
+    assert dc.read_dataset(spark, "pets", version=">=1.0.0", catalog_root=cat).count() == 2
+    assert dc.read_dataset(spark, "pets", version="<=1.0.0", catalog_root=cat).count() == 5
+    assert dc.read_dataset(spark, "pets", version="~=1.0", catalog_root=cat).count() == 2
+    assert (
+        dc.read_dataset(spark, "pets", version=">1.0.0,<2", catalog_root=cat).count() == 2
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="specifier"):
+        dc.read_dataset(spark, "pets", version=">=9", catalog_root=cat)
 
 
 def test_read_csv_json_parquet_roundtrip(spark, ch, tmp_path):
