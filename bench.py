@@ -124,8 +124,9 @@ def main() -> None:
                     (tput_hi / tput_lo) / cap_ratio, 3
                 ),
                 "pair": f"local[{LOW_CPUS}] -> local[{HIGH_CPUS}] (N -> 4N)",
-                "criterion": ">=0.8 (BASELINE.json north_rule, sandbox proxy; "
-                "capacity-normalized — see BASELINE.md bench notes)",
+                "criterion": ">=0.8 raw (BASELINE.json north_rule, sandbox proxy; "
+                "passes RAW since r2 — capacity-normalized reported alongside; "
+                "see BASELINE.md bench notes)",
             }
             if full:
                 result["scaling"][f"events_per_sec_local{CPUS}"] = round(

@@ -265,8 +265,14 @@ def apply_batch(
     # BEFORE the manifest commit, reuse the files instead of recomputing —
     # inputs are identical because the parent snapshot never advanced.
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        default_par = spark.sparkContext.defaultParallelism
-        n_parts = max(1, min(table.num_buckets * files_per_bucket, 2 * default_par))
+        # partition count is a function of the TABLE LAYOUT ONLY
+        # (buckets x files_per_bucket), never of the session's
+        # parallelism: the plan is then identical at every cluster size —
+        # capping by defaultParallelism handed small clusters a
+        # cheaper plan (fewer, bigger files) and corrupted N-vs-4N
+        # scaling measurements, and at 10^10 scale the layout, not the
+        # executor count, is what bounds file counts.
+        n_parts = max(1, table.num_buckets * files_per_bucket)
         (
             segment.withColumn(
                 "_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket))

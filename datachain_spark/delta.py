@@ -44,7 +44,16 @@ def delta_update(
     on = list(on)
     latest_src = source.current_version()
     res_snap = result.snapshot()
-    last_src = res_snap.props.get("source_version")
+    # dependency records: every result version carries the (source_root,
+    # version) pairs it was derived from (the reference resolves the
+    # last-consumed source version through recorded dataset dependencies,
+    # delta.py:188-237 + catalog.get_dataset_dependencies) — multi-input
+    # chains each find their own entry. `source_version` is kept as a
+    # legacy single-source alias.
+    deps = {d["source"]: d["version"] for d in res_snap.props.get("dependencies", [])}
+    if not deps and res_snap.props.get("source_version") is not None:
+        deps = {source.root: res_snap.props["source_version"]}
+    last_src = deps.get(source.root)
 
     src_df = source.read(spark, version=latest_src)
     if last_src is None:
@@ -86,8 +95,14 @@ def delta_update(
         for f in sorted(os.listdir(out_dir))
         if f.endswith(".parquet")
     ]
+    deps[source.root] = latest_src
     return result.commit(
         replace_bucket_files={0: files},
         schema=new_result.schema,
-        props={"source_version": latest_src},
+        props={
+            "source_version": latest_src,
+            "dependencies": [
+                {"source": s, "version": v} for s, v in sorted(deps.items())
+            ],
+        },
     )

@@ -151,9 +151,9 @@ def ivf_assign(
 
 
 def train_centroids_by_hash(df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
-    """Deterministic 'training': pick k spread-out corpus vectors by hash
-    rank (a real deployment would run k-means; the IVF *plumbing* —
-    assignment, inverted cells, probe-limited search — is identical)."""
+    """Deterministic seeding: pick k spread-out corpus vectors by hash
+    rank. Used directly for cheap IVF, and as the init for
+    train_centroids_kmeans."""
     rows = (
         df.withColumn("__h", F.xxhash64(F.col(id_col)))
         .orderBy("__h")
@@ -162,6 +162,45 @@ def train_centroids_by_hash(df: DataFrame, k: int, id_col: str = "vec_id", vec_c
         .collect()
     )
     return [list(map(float, r[0])) for r in rows]
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column, pure
+    DataFrame ops: per iteration, (1) assign each vector to its nearest
+    centroid — a narrow map, centroids inlined as Catalyst literals (k is
+    small, no join, no broadcast exchange); (2) recompute means with ONE
+    groupBy(cell) shuffle using element-wise array sums
+    (zip_with-accumulated), so cost per iteration is one pass + one
+    k-row-output shuffle regardless of corpus size. Deterministic:
+    hash-rank init, no RNG. Empty cells keep their previous centroid."""
+    centroids = train_centroids_by_hash(df, k, id_col, vec_col)
+    dim = len(centroids[0]) if centroids else 0
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col, nprobe=1).withColumn(
+            "__cell", F.element_at("__cell", 1)
+        )
+        # mean per (cell, dimension): posexplode + hash-agg. Partial
+        # aggregation runs map-side, so shuffle volume is
+        # O(partitions * k * dim), independent of corpus size — never a
+        # collect_list of a cell's vectors (whose buffer would grow with
+        # the cell).
+        ex = assigned.select("__cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        rows = (
+            ex.groupBy("__cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r["__cell"]), [0.0] * dim)[int(r["pos"])] = r["s"] / r["n"]
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
 
 
 def ivf_topk(

@@ -52,6 +52,45 @@ def test_delta_update_incremental(spark, tmp_path):
     assert sorted(r["id"] for r in recomputed.select("id").collect()) == [2, 4]
     got = sorted(tuple(r) for r in res.read(spark).collect())
     assert got == [(1, 1.0, 10.0), (2, 9.0, 90.0), (4, 4.0, 40.0)]
+    # dependency records: the result version records which source version
+    # it was derived from (reference delta.py:188-237)
+    deps = res.snapshot().props["dependencies"]
+    assert deps == [{"source": src.root, "version": src.current_version()}]
+
+
+def test_delta_update_multi_source_dependencies(spark, tmp_path):
+    """Two delta pipelines into one result table keep independent
+    dependency entries (reference resolves per-source versions through
+    recorded dependencies — a bare source_version prop cannot)."""
+    src_a = LakeTable.create(
+        str(tmp_path / "sa"), spark.createDataFrame([], "id int, v double").schema,
+        key_cols=["id"], num_buckets=1,
+    )
+    src_b = LakeTable.create(
+        str(tmp_path / "sb"), spark.createDataFrame([], "id int, v double").schema,
+        key_cols=["id"], num_buckets=1,
+    )
+    res = LakeTable.create(
+        str(tmp_path / "rm"), spark.createDataFrame([], "id int, v double, out double").schema,
+        key_cols=["id"], num_buckets=1,
+    )
+
+    def transform(df):
+        return df.withColumn("out", F.col("v") * 10)
+
+    _save_version(spark, src_a, [(1, 1.0)], "id int, v double")
+    _save_version(spark, src_b, [(100, 5.0)], "id int, v double")
+    delta_update(spark, src_a, res, transform, on=["id"])
+    delta_update(spark, src_b, res, transform, on=["id"])
+    deps = {d["source"]: d["version"] for d in res.snapshot().props["dependencies"]}
+    assert deps == {src_a.root: src_a.current_version(), src_b.root: src_b.current_version()}
+    # updating only src_a leaves src_b's recorded dependency intact and
+    # does not reprocess src_b rows
+    _save_version(spark, src_a, [(1, 2.0)], "id int, v double")
+    assert delta_update(spark, src_b, res, transform, on=["id"]) is None  # b unchanged
+    delta_update(spark, src_a, res, transform, on=["id"])
+    got = sorted(tuple(r) for r in res.read(spark).collect())
+    assert got == [(1, 2.0, 20.0), (100, 5.0, 50.0)]
 
 
 def test_delta_retry_rows(spark, tmp_path):

@@ -281,6 +281,39 @@ def test_embedding_near_dups_and_ivf(spark):
     assert out and out[0]["vec_id"] == 7  # probe finds the twin's cell
 
 
+def test_kmeans_centroids_separate_clusters(spark):
+    """Distributed Lloyd's k-means (posexplode + hash-agg means) converges
+    on two well-separated synthetic clusters and beats the hash-pick seed:
+    each learned centroid sits near one cluster's true mean."""
+    from datachain_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+        train_centroids_kmeans,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0]
+        rows.append((i, [base[j] + (i % 5) * 0.1 for j in range(3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids_kmeans(df, k=2, iters=4)
+    assert len(cents) == 2 and len(cents[0]) == 3
+    # the two centroids split the clusters: dominant axes differ
+    axes = sorted(c.index(max(c)) for c in cents)
+    assert axes == [0, 1]
+    # every vector assigns to the centroid of its own cluster
+    assigned = ivf_assign(df, cents, nprobe=1).withColumn(
+        "cell", F.element_at("__cell", 1)
+    )
+    per_cluster = (
+        assigned.withColumn("true_cluster", F.col("vec_id") % 2)
+        .groupBy("true_cluster")
+        .agg(F.countDistinct("cell").alias("n_cells"))
+        .collect()
+    )
+    assert all(r["n_cells"] == 1 for r in per_cluster)
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from datachain_spark.operators.skew import salted_agg
 
