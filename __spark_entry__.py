@@ -426,6 +426,79 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.5 'available in Spark')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def running_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window FRAMES (rowsBetween): running sum + trailing-3
+    moving average per user — SURVEY §2.6 notes the reference has no frame
+    specs at all; Spark's are native."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(running), 2).alias("running_total"),
+        F.round(F.avg("value").over(trail3), 2).alias("avg_last3"),
+    ).orderBy("user_id", "event_id")
+
+
+def path_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path functions parent/name/file_stem/file_ext (reference
+    func/path.py:6-122) over synthesized paths covering parents,
+    multi-extension names, and bare files."""
+    from datachain_spark.functions import path as P
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    path = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".txt")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("archive/deep/dir/doc_"), F.col("doc_id"), F.lit(".tar.gz")),
+        )
+        .otherwise(F.concat(F.lit("plainfile"), F.col("doc_id")))
+    )
+    withp = docs.select("doc_id", path.alias("path"))
+    return withp.select(
+        "doc_id",
+        "path",
+        P.parent("path").alias("parent"),
+        P.name("path").alias("name"),
+        P.file_stem("path").alias("stem"),
+        P.file_ext("path").alias("ext"),
+    ).orderBy("doc_id")
+
+
+def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: split -> real array with element access,
+    literal replace, case mapping, regexp extraction (reference
+    func/string.py; its split returns a JSON-encoded array in SQLite)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("3")).alias("lang_l33t"),
+        F.upper("source").alias("source_up"),
+        F.regexp_extract("source", r"(\d+)", 1).cast("int").alias("src_num"),
+    ).orderBy("doc_id")
+
+
 def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join == EXISTS."""
     orders = _t(spark, sf_dir, "orders")
@@ -538,6 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_storage_listing": read_storage_listing,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
+        "rollup_counts": rollup_counts,
+        "running_window_frame": running_window_frame,
+        "path_scalar_funcs": path_scalar_funcs,
+        "string_scalar_funcs": string_scalar_funcs,
         "exists_semi": exists_semi,
     }
 
@@ -847,6 +924,56 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "running_window_frame": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg_last3
+            FROM events WHERE user_id < 10
+            ORDER BY user_id, event_id
+        """,
+        "path_scalar_funcs": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN 'data/' || source || '/doc_' || doc_id || '.txt'
+                          WHEN doc_id % 3 = 1
+                            THEN 'archive/deep/dir/doc_' || doc_id || '.tar.gz'
+                          ELSE 'plainfile' || doc_id END AS path
+              FROM documents WHERE doc_id < 1000
+            ),
+            n AS (SELECT *, regexp_extract(path, '([^/]*)$', 1) AS name FROM p)
+            SELECT doc_id, path,
+                   CASE WHEN path LIKE '%/%'
+                        THEN regexp_replace(path, '/[^/]*$', '') ELSE '' END AS parent,
+                   name,
+                   CASE WHEN regexp_matches(name, '\.[^.]*$')
+                        THEN regexp_replace(name, '\.[^.]*$', '') ELSE name END AS stem,
+                   CASE WHEN regexp_matches(name, '\.[^.]+$')
+                        THEN regexp_extract(name, '\.([^.]+)$', 1) ELSE '' END AS ext
+            FROM n ORDER BY doc_id
+        """,
+        "string_scalar_funcs": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                     lang, source
+              FROM documents WHERE doc_id < 1500
+            )
+            SELECT doc_id,
+                   toks[1] AS first_tok,
+                   toks[-1] AS last_tok,
+                   replace(lang, 'e', '3') AS lang_l33t,
+                   upper(source) AS source_up,
+                   CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num
+            FROM t ORDER BY doc_id
         """,
         "exists_semi": """
             SELECT o_orderkey, o_totalprice FROM orders

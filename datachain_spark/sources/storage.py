@@ -106,6 +106,79 @@ def _re_quote(s: str) -> str:
     return re.escape(s)
 
 
+def to_storage(
+    df: DataFrame,
+    output: str,
+    placement: str = "filename",  # filename | etag | fullpath
+    column: str = "file",
+    data_col: str = "data",
+) -> DataFrame:
+    """Export binary payloads back to files (reference to_storage,
+    /root/reference/src/datachain/datachain.py:2795-2876 with FileExporter
+    placement strategies, lib/file.py:51-84). Executors write in parallel
+    via mapInPandas — the threaded driver-side exporter becomes a
+    distributed write; `output` must be a shared filesystem on a real
+    cluster. Returns a DataFrame of (path, n_bytes) actually written
+    (collect it to force the export and get the manifest).
+
+    placement='filename' -> basename only (collisions overwrite);
+    'etag' -> <etag><ext>; 'fullpath' -> mirrors the relative path tree.
+    """
+    import pandas as pd
+
+    out_schema = "path string, n_bytes long"
+
+    def write(batches):
+        import os as _os
+
+        for pdf in batches:
+            paths, sizes = [], []
+            for f, data in zip(pdf[column], pdf[data_col]):
+                rel = f["path"]
+                base = _os.path.basename(rel)
+                if placement == "filename":
+                    target = base
+                elif placement == "etag":
+                    ext = _os.path.splitext(base)[1]
+                    target = f"{f['etag']}{ext}"
+                elif placement == "fullpath":
+                    target = rel
+                else:
+                    raise ValueError(f"unknown placement {placement!r}")
+                full = _os.path.join(output, target)
+                _os.makedirs(_os.path.dirname(full) or output, exist_ok=True)
+                payload = bytes(data) if data is not None else b""
+                with open(full, "wb") as fh:
+                    fh.write(payload)
+                paths.append(target)
+                sizes.append(len(payload))
+            yield pd.DataFrame({"path": paths, "n_bytes": sizes})
+
+    return df.mapInPandas(write, out_schema)
+
+
+def parse_tabular(
+    spark: SparkSession,
+    listing: DataFrame,
+    format: str = "csv",  # noqa: A002 - reference API name
+    column: str = "file",
+    **options: str,
+) -> DataFrame:
+    """Read the CONTENT of listed files as tabular data (reference
+    parse_tabular, /root/reference/src/datachain/datachain.py:2214-2320 —
+    its ArrowGenerator opens each File and yields record batches). Here
+    the listing's paths feed a normal distributed spark.read — Arrow
+    batching, schema merge, and parallelism are native — and each row
+    keeps its source file via input_file_name()."""
+    rows = listing.select(f"{column}.source", f"{column}.path").collect()
+    paths = [f"{r['source']}/{r['path']}" for r in rows]
+    if not paths:
+        raise ValueError("parse_tabular: empty listing")
+    reader = spark.read.options(**options)
+    df = getattr(reader, format)(paths)
+    return df.withColumn("source_file", F.input_file_name())
+
+
 def file_diff(
     left: DataFrame,
     right: DataFrame,

@@ -8,7 +8,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from datachain_spark.sources.storage import file_diff, read_storage
+from datachain_spark.sources.storage import (
+    file_diff,
+    parse_tabular,
+    read_storage,
+    to_storage,
+)
 
 
 def _mk_tree(root):
@@ -86,6 +91,38 @@ def test_file_diff_statuses(spark, tmp_path):
     }
     assert d["a.txt"] == "M" and d["b.bin"] == "D" and d["d.txt"] == "A"
     assert d["sub/c.txt"] == "S"
+
+
+def test_to_storage_placements(spark, tmp_path):
+    root = _mk_tree(str(tmp_path / "tree"))
+    listing = read_storage(spark, root, type="binary")
+    out1 = str(tmp_path / "out_fn")
+    written = {r["path"]: r["n_bytes"] for r in to_storage(listing, out1).collect()}
+    assert written == {"a.txt": 5, "b.bin": 3, "c.txt": 13}
+    assert open(os.path.join(out1, "a.txt")).read() == "alpha"
+    # fullpath mirrors the tree
+    out2 = str(tmp_path / "out_fp")
+    paths = {r["path"] for r in to_storage(listing, out2, placement="fullpath").collect()}
+    assert "sub/c.txt" in paths
+    assert os.path.exists(os.path.join(out2, "sub", "c.txt"))
+    # etag placement: content-addressed names
+    out3 = str(tmp_path / "out_et")
+    paths3 = sorted(r["path"] for r in to_storage(listing, out3, placement="etag").collect())
+    assert all(len(p.split(".")[0]) == 32 for p in paths3)
+
+
+def test_parse_tabular_reads_listed_files(spark, tmp_path):
+    root = str(tmp_path / "csvs")
+    os.makedirs(os.path.join(root, "sub"), exist_ok=True)
+    with open(os.path.join(root, "x.csv"), "w") as f:
+        f.write("id,v\n1,10\n2,20\n")
+    with open(os.path.join(root, "sub", "y.csv"), "w") as f:
+        f.write("id,v\n3,30\n")
+    listing = read_storage(spark, root, type="meta", glob="*.csv")
+    df = parse_tabular(spark, listing, format="csv", header="true", inferSchema="true")
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    assert all(r["source_file"] for r in df.collect())
 
 
 def test_file_struct_nested_select(spark, tmp_path):

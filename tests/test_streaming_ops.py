@@ -57,6 +57,70 @@ def test_windowed_counts_streaming(spark, tmp_path):
     assert got.get((T0, "click")) == 5
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark arriving in a
+    later microbatch is DROPPED — the already-emitted window is not
+    re-opened and not duplicated (append mode)."""
+    import os
+    import time as _time
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "latesrc")
+    os.makedirs(src)
+    # batch 1: 3 on-time events in the T0 window + one at T0+1h that pushes
+    # the watermark to ~50min (10 min delay), closing the T0 window
+    b1 = spark.createDataFrame(
+        [
+            (1, T0, 1, "click", 1.0),
+            (2, T0 + timedelta(minutes=1), 1, "click", 1.0),
+            (3, T0 + timedelta(minutes=2), 1, "click", 1.0),
+            (4, T0 + timedelta(hours=1), 1, "click", 1.0),
+        ],
+        schema,
+    )
+    # batch 2: a filler event — the watermark computed from batch 1 becomes
+    # the LATE-ROW FILTER only one batch later (a window still in state
+    # absorbs same-batch stragglers before eviction; that is Spark's
+    # documented one-batch watermark lag)
+    bmid = spark.createDataFrame(
+        [(9, T0 + timedelta(hours=1, seconds=10), 1, "click", 1.0)], schema
+    )
+    # batch 3: one LATE event back in the (now closed) T0 window and one
+    # current event
+    b2 = spark.createDataFrame(
+        [
+            (5, T0 + timedelta(seconds=30), 1, "click", 100.0),  # late -> dropped
+            (6, T0 + timedelta(hours=1, minutes=1), 1, "click", 1.0),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    bmid.coalesce(1).write.parquet(src + "/f2")
+    b2.coalesce(1).write.parquet(src + "/f3")
+    now = _time.time()
+    for i, d in enumerate(["f1", "f2", "f3"]):  # file source orders by mtime
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (now + i, now + i))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        src + "/f*"
+    )
+    q = (
+        windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lateout")
+        .option("checkpointLocation", str(tmp_path / "lateckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from lateout").collect()
+    t0_rows = [r for r in rows if r["win_start"] == T0]
+    # exactly one emission for the T0 window, counting ONLY on-time events
+    assert len(t0_rows) == 1
+    assert t0_rows[0]["n"] == 3 and t0_rows[0]["total"] == 3.0
+
+
 def test_sessionize_stateful_streaming(spark, tmp_path):
     src = str(tmp_path / "ssrc")
     _events(spark).write.parquet(src)
