@@ -13,10 +13,13 @@ Two parts:
    in BASELINE.md).
 
 Scaling efficiency (north rule: >=0.8 from N to 4N executors) is reported
-for the local[2] -> local[8] pair: a pure-CPU probe shows this VM's
-per-core throughput collapses ~35% once more than ~8 cores are busy
-(all-core turbo / host steal), so 8->32 measures the hypervisor, not the
-engine. local[32] numbers are still reported for transparency.
+for THREE N->4N pairs — local[1]->local[4] (primary), local[2]->local[8],
+local[8]->local[32] — each raw AND capacity-normalized by a pure-CPU
+probe. The probe shows this VM throttles per-core throughput as cores go
+busy (4 busy cores get ~3.6x the compute of 1; 32 get only ~2.2x of 8),
+which caps RAW efficiency at (granted compute)/4 regardless of the
+engine; only the 1->4 pair sits below the throttle knee on both sides, so
+it is the one that measures the engine raw. All numbers reported.
 """
 
 from __future__ import annotations
@@ -35,9 +38,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", "2"))
 HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "8"))
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+# 4x10^6 events (the BASELINE.md protocol size): long enough timed windows
+# that the Firecracker host's run-to-run noise (+-30-50% on sub-minute
+# commands) averages out inside each run instead of across runs
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 RUNS_PER_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+# N->4N pairs reported (raw + capacity-normalized each); the PRIMARY
+# criterion pair is first: local[1]->local[4], the only pair on this host
+# where both levels sit below the ~8-busy-core per-core throttle knee
+PAIRS = [(1, 4), (LOW_CPUS, HIGH_CPUS), (HIGH_CPUS, CPUS)]
+# timed runs per level (best-of); local[1] runs once — its ~3 min timed
+# window is long enough that host noise averages out within the run
+RUNS_BY_LEVEL = {1: 1, 4: 2, LOW_CPUS: 1, HIGH_CPUS: RUNS_PER_LEVEL, CPUS: 1}
 
 def run_queries() -> dict[str, float]:
     """Headline query timings in a subprocess (timeout + one retry: a rare
@@ -105,33 +118,46 @@ def main() -> None:
             },
         }
         if not SKIP_SCALING:
-            lo = best_of(LOW_CPUS, feed_dir, RUNS_PER_LEVEL)
-            full = best_of(CPUS, feed_dir, 1) if CPUS not in (LOW_CPUS, HIGH_CPUS) else None
-            tput_lo = lo["events"] / lo["seconds"]
-            raw_eff = (tput_hi / tput_lo) / (HIGH_CPUS / LOW_CPUS)
-            # capacity ratio: how much more pure-CPU throughput the host
-            # actually granted the high level in the SAME JVMs (virtualized
-            # hosts throttle per-core speed as cores go busy; ~2.3x for 4x
-            # cores on this box). Normalizing isolates the ENGINE's
-            # scaling from the hypervisor's.
-            cap_ratio = lo["probe_seconds"] / hi["probe_seconds"]
+            # Every N -> 4N pair available on this box, all reported RAW and
+            # capacity-normalized. The pure-CPU probe (chained xxhash64,
+            # zero shuffle/IO/Python, same JVMs) measures how much compute
+            # the hypervisor actually grants each level — this Firecracker
+            # host throttles per-core speed as cores go busy (probe grants
+            # ~3.6x for 1->4 cores, ~3.0x for 2->8, ~2.2x above 8), so the
+            # raw ratio of the HIGHER pairs measures the host, not the
+            # engine. The primary criterion pair is the best-controlled
+            # one: local[1] -> local[4], both far below the throttle knee.
+            levels: dict[int, dict] = {HIGH_CPUS: hi}
+            for n in sorted({c for p in PAIRS for c in p}):
+                if n not in levels:
+                    levels[n] = best_of(n, feed_dir, RUNS_BY_LEVEL.get(n, 1))
+
+            def tput(n: int) -> float:
+                return levels[n]["events"] / levels[n]["seconds"]
+
+            pairs = []
+            for a, b in PAIRS:
+                if a in levels and b in levels and a >= 1 and a != b:
+                    cap = levels[a]["probe_seconds"] / levels[b]["probe_seconds"]
+                    pairs.append(
+                        {
+                            "pair": f"local[{a}] -> local[{b}] (N -> 4N)",
+                            "efficiency_raw": round((tput(b) / tput(a)) / (b / a), 3),
+                            "host_capacity_ratio": round(cap, 3),
+                            "efficiency_capacity_normalized": round(
+                                (tput(b) / tput(a)) / cap, 3
+                            ),
+                        }
+                    )
             result["scaling"] = {
-                f"events_per_sec_local{LOW_CPUS}": round(tput_lo, 1),
-                f"events_per_sec_local{HIGH_CPUS}": round(tput_hi, 1),
-                "efficiency_raw": round(raw_eff, 3),
-                "host_capacity_ratio": round(cap_ratio, 3),
-                "efficiency_capacity_normalized": round(
-                    (tput_hi / tput_lo) / cap_ratio, 3
-                ),
-                "pair": f"local[{LOW_CPUS}] -> local[{HIGH_CPUS}] (N -> 4N)",
-                "criterion": ">=0.8 raw (BASELINE.json north_rule, sandbox proxy; "
-                "passes RAW since r2 — capacity-normalized reported alongside; "
-                "see BASELINE.md bench notes)",
+                **{f"events_per_sec_local{n}": round(tput(n), 1) for n in sorted(levels)},
+                "pairs": pairs,
+                "efficiency_raw": pairs[0]["efficiency_raw"] if pairs else None,
+                "pair": pairs[0]["pair"] if pairs else None,
+                "criterion": ">=0.8 raw on the primary (unthrottled) N->4N pair; "
+                "all pairs reported raw + probe-capacity-normalized — "
+                "see BASELINE.md bench notes",
             }
-            if full:
-                result["scaling"][f"events_per_sec_local{CPUS}"] = round(
-                    full["events"] / full["seconds"], 1
-                )
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
 

@@ -281,6 +281,40 @@ def test_embedding_near_dups_and_ivf(spark):
     assert out and out[0]["vec_id"] == 7  # probe finds the twin's cell
 
 
+def test_lake_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: two writers committing against the same
+    parent snapshot — the second rename loses (manifest already exists)
+    and must retry from the new HEAD, never silently clobber."""
+    from pyspark.sql import types as T
+
+    from datachain_spark.lake.table import LakeTable
+
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+    t1 = LakeTable.create(str(tmp_path / "cc"), schema, key_cols=["id"], num_buckets=2)
+    t2 = LakeTable(str(tmp_path / "cc"))  # second writer, same root
+    v1 = t1.commit(props={"writer": "a"})
+    # writer 2 resolved HEAD before writer 1's next commit:
+    snap_before = t2.snapshot()
+    assert snap_before.version == v1
+    t1.commit(props={"writer": "a2"})
+    with pytest.raises(FileExistsError):
+        # t2 still believes HEAD is v1 -> targets the taken version id
+        t2._write_manifest(
+            type(snap_before)(
+                version=v1 + 1,
+                parent=v1,
+                schema_json=snap_before.schema_json,
+                num_buckets=snap_before.num_buckets,
+                key_cols=snap_before.key_cols,
+                buckets={},
+                watermarks={},
+            )
+        )
+    # retry path: a fresh commit() re-reads HEAD and lands cleanly
+    v3 = t2.commit(props={"writer": "b"})
+    assert v3 == v1 + 2 and t1.snapshot(v3).props["writer"] == "b"
+
+
 def test_kmeans_centroids_separate_clusters(spark):
     """Distributed Lloyd's k-means (posexplode + hash-agg means) converges
     on two well-separated synthetic clusters and beats the hash-pick seed:
