@@ -353,6 +353,7 @@ def replay_feed_dir(
     num_buckets: int = 32,
     upto_batch: int | None = None,
     normalize: bool = True,
+    max_segments: int = 8,
 ) -> tuple[LakeTable, list[dict[str, Any]]]:
     """Batch-mode replay of a write_feed output directory, in lsn order.
     Resumable: re-running over a partially-applied table skips committed
@@ -380,7 +381,14 @@ def replay_feed_dir(
         events = spark.read.schema(schema).parquet(d)
         metrics.append(
             apply_batch(
-                spark, table, events, job_id, batch_id, normalize=normalize, lsn_ordered=True
+                spark,
+                table,
+                events,
+                job_id,
+                batch_id,
+                normalize=normalize,
+                lsn_ordered=True,
+                max_segments=max_segments,
             )
         )
     return table, metrics

@@ -169,7 +169,14 @@ def parse_tabular(
     its ArrowGenerator opens each File and yields record batches). Here
     the listing's paths feed a normal distributed spark.read — Arrow
     batching, schema merge, and parallelism are native — and each row
-    keeps its source file via input_file_name()."""
+    keeps its source file via input_file_name().
+
+    Scale note: the path list is collected to the driver, which is the
+    same O(files) driver-side footprint Spark's own InMemoryFileIndex
+    keeps for ANY scan — a curated listing (post-filter, post-file_diff)
+    is typically far smaller than the raw bucket. For an unfiltered read
+    of a whole prefix, skip the listing and point spark.read at the
+    directory (pathGlobFilter does the rest)."""
     rows = listing.select(f"{column}.source", f"{column}.path").collect()
     paths = [f"{r['source']}/{r['path']}" for r in rows]
     if not paths:

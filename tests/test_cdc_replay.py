@@ -138,6 +138,43 @@ def test_version_tags_and_time_travel(spark, feed_dir, tmp_path):
     assert table.read(spark, version=v_first).count() == tagged.count()
 
 
+def test_forced_compaction_across_schema_evolution(spark, feed_dir, oracle_rows, tmp_path):
+    """Compaction triggered nearly every batch, straddling the mid-stream
+    schema evolution point: resolved rewrites of pre-evolution segments
+    must null-fill the evolved column (union-by-name read) and the final
+    state must still equal the oracle exactly."""
+    table, metrics = replay_feed_dir(
+        spark, str(tmp_path / "t"), feed_dir, num_buckets=8, max_segments=1
+    )
+    assert any(m.get("compacted_version") for m in metrics if "version" in m)
+    assert any(m.get("evolved") for m in metrics if "version" in m)
+    assert final_state(spark, table) == oracle_rows
+    # compaction is STAGGERED (worst quarter of buckets per apply), so the
+    # invariant is "reduced, not unbounded": every bucket holds fewer
+    # segments than the number of applied batches, and recently-compacted
+    # buckets are down to a single resolved segment
+    snap = table.snapshot()
+    n_applied = len([m for m in metrics if "version" in m])
+    assert max(len(fl) for fl in snap.buckets.values()) < n_applied
+    assert any(len(fl) == 1 for fl in snap.buckets.values())
+
+
+def test_ledger_survives_vacuum(spark, feed_dir, oracle_rows, tmp_path):
+    """expire_versions drops old manifests, but the committed-batch range
+    set lives in HEAD — exactly-once skip detection must survive vacuum."""
+    root = str(tmp_path / "t")
+    table, metrics = replay_feed_dir(spark, root, feed_dir, num_buckets=8)
+    applied = [m["batch_id"] for m in metrics if "version" in m]
+    table.expire_versions(keep_last=1)
+    assert len(table.versions()) == 1
+    for b in applied:
+        assert table.batch_committed("replay", b)
+    # a full re-replay over the vacuumed table is still a no-op
+    table2, m2 = replay_feed_dir(spark, root, feed_dir, num_buckets=8)
+    assert all("skipped" in m for m in m2)
+    assert final_state(spark, table2) == oracle_rows
+
+
 def test_crash_between_write_and_commit(spark, feed_dir, oracle_rows, tmp_path):
     """Reference continue-from-partial analog: a crash after the segment
     write but before the manifest commit must (a) leave table state
