@@ -499,6 +499,28 @@ def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def numeric_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric/bit function family (reference func/numeric.py:7-178):
+    bit_and/bit_or/bit_xor aggregates plus scalar bitwise ops and
+    bit_hamming_distance (bit_count of xor)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    masked = ev.select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(256)).cast("long").alias("m"),
+        F.pmod(F.col("event_id") * 7919, F.lit(256)).cast("long").alias("m2"),
+    )
+    return (
+        masked.groupBy("user_id")
+        .agg(
+            F.bit_and("m").alias("band"),
+            F.bit_or("m").alias("bor"),
+            F.bit_xor("m").alias("bxor"),
+            F.sum(F.bit_count(F.col("m").bitwiseXOR(F.col("m2")))).alias("hamming_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join == EXISTS."""
     orders = _t(spark, sf_dir, "orders")
@@ -615,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window_frame": running_window_frame,
         "path_scalar_funcs": path_scalar_funcs,
         "string_scalar_funcs": string_scalar_funcs,
+        "numeric_bit_aggs": numeric_bit_aggs,
         "exists_semi": exists_semi,
     }
 
@@ -974,6 +997,20 @@ def oracle_sql() -> dict[str, str]:
                    upper(source) AS source_up,
                    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num
             FROM t ORDER BY doc_id
+        """,
+        "numeric_bit_aggs": """
+            WITH m AS (
+              SELECT user_id,
+                     event_id % 256 AS m,
+                     (event_id * 7919) % 256 AS m2
+              FROM events WHERE event_id < 3000
+            )
+            SELECT user_id,
+                   bit_and(m) AS band,
+                   bit_or(m) AS bor,
+                   bit_xor(m) AS bxor,
+                   CAST(sum(bit_count(xor(m, m2))) AS BIGINT) AS hamming_total
+            FROM m GROUP BY user_id ORDER BY user_id
         """,
         "exists_semi": """
             SELECT o_orderkey, o_totalprice FROM orders

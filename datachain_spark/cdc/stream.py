@@ -46,6 +46,56 @@ def event_stream_schema() -> T.StructType:
     )
 
 
+def tail_stream(
+    spark: SparkSession,
+    table_root: str,
+    feed_dir: str,
+    checkpoint_dir: str,
+    job_id: str = "tail",
+    num_buckets: int = 32,
+    max_files_per_trigger: int = 4,
+    interval: str = "500 milliseconds",
+    normalize: bool = True,
+):
+    """CONTINUOUS tailing: a processing-time-triggered stream that keeps
+    following the feed directory as new binlog segments land (run_stream
+    is the run-to-exhaustion variant). Returns (table, query, metrics);
+    the caller owns query.stop(). Exactly-once semantics are identical —
+    same apply_batch, same ledger — because the trigger mode only changes
+    WHEN microbatches fire, not what they contain."""
+    if LakeTable.exists(table_root):
+        table = LakeTable(table_root)
+    else:
+        table = LakeTable.create(
+            table_root,
+            transcripts_schema_v1(),
+            key_cols=["conv_id", "turn_idx"],
+            num_buckets=num_buckets,
+        )
+    metrics: list[dict[str, Any]] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        m = apply_batch(
+            batch_df.sparkSession, table, batch_df, job_id=job_id, batch_id=epoch_id,
+            normalize=normalize,
+        )
+        m["epoch_id"] = epoch_id
+        metrics.append(m)
+
+    stream = (
+        spark.readStream.schema(event_stream_schema())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(os.path.join(feed_dir, "v*", "batch=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    return table, query, metrics
+
+
 def run_stream(
     spark: SparkSession,
     table_root: str,

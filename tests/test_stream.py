@@ -98,6 +98,55 @@ def test_stream_multifile_batch_dirs_interleaved_lsn(spark, tmp_path):
     assert final_state(spark, table) == expected
 
 
+def test_tail_stream_follows_arriving_segments(spark, tmp_path):
+    """Continuous tailing: start the processing-time-triggered stream on a
+    PARTIAL feed, move the remaining binlog segments in while it runs, and
+    assert it converges to the full-feed oracle without a restart."""
+    import os
+    import shutil
+    import time
+
+    from datachain_spark.cdc.feed import feed_batch_dirs
+    from datachain_spark.cdc.stream import tail_stream
+
+    spec = FeedSpec(n_convs=20, hot_every=1000, hot_base=40, batch_size=100)
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    write_feed(spark, spec, staging)
+    dirs = feed_batch_dirs(staging)
+    half = len(dirs) // 2
+    # live feed starts with the first half of the segments
+    for _, d in dirs[:half]:
+        rel = os.path.relpath(d, staging)
+        os.makedirs(os.path.dirname(os.path.join(live, rel)), exist_ok=True)
+        shutil.copytree(d, os.path.join(live, rel))
+    expected = [
+        (c, t, r, normalize_text(x), tool) for (c, t, r, x, tool) in oracle_replay(spec)
+    ]
+    table, query, metrics = tail_stream(
+        spark, str(tmp_path / "t"), live, str(tmp_path / "ckpt"), num_buckets=8
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not metrics:
+            time.sleep(0.5)
+        # new binlog segments arrive while the stream is live
+        for _, d in dirs[half:]:
+            rel = os.path.relpath(d, staging)
+            os.makedirs(os.path.dirname(os.path.join(live, rel)), exist_ok=True)
+            shutil.copytree(d, os.path.join(live, rel))
+        deadline = time.monotonic() + 90
+        got = None
+        while time.monotonic() < deadline:
+            got = final_state(spark, table)
+            if got == expected:
+                break
+            time.sleep(1.0)
+        assert got == expected
+    finally:
+        query.stop()
+
+
 def test_ledger_df_schema_and_listener(spark, feed_dir, tmp_path):
     table, metrics = run_stream(
         spark, str(tmp_path / "t"), feed_dir, str(tmp_path / "ckpt"), num_buckets=8
