@@ -23,6 +23,9 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "document_pipeline",
     "asof_last_error",
+    # r2 additions (additive keys — r1 keys unchanged for cross-round diff)
+    "nested_struct_project",
+    "running_window_frame",
 ]
 
 
