@@ -340,6 +340,21 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3, hash_mode="md5").orderBy("id_a", "id_b")
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the md5 MinHash near-dup pairs: each doc
+    in any pair gets its cluster id (min doc_id of the component). The
+    DuckDB oracle recomputes the same pairs and closes them transitively
+    with a recursive CTE — value-exact."""
+    from datachain_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9, hash_mode="md5")
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -624,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "near_dup_clusters": near_dup_clusters,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
@@ -686,6 +702,28 @@ def _minhash_oracle_sql() -> str:
         FROM sig a JOIN sig b ON a.id < b.id
         WHERE len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i])) >= 29
         ORDER BY id_a, id_b
+    """
+
+
+def _near_dup_clusters_oracle_sql() -> str:
+    """Transitive closure of the minhash pairs via a recursive CTE:
+    cluster id = min doc id reachable in the near-dup graph — exactly what
+    min-label propagation converges to."""
+    pairs_sql = _minhash_oracle_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
     """
 
 
@@ -1019,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_oracle_sql(),
         # Full CDC-replay oracle, self-contained: the feed is pure
         # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates

@@ -263,6 +263,79 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node starts labeled with itself; each round a node
+    takes the minimum label in its neighborhood; converged when no label
+    changes. Returns (id, component) with component = min node id of the
+    cluster.
+
+    Scale shape: each iteration is one equi-join + one min-aggregation
+    over the EDGE list — O(E) shuffle, no all-pairs, no driver-side graph.
+    Iteration count is bounded by the cluster diameter, and near-dup
+    clusters are shallow (dozens of docs, diameter a handful), so this
+    converges in a few rounds at any corpus size; localCheckpoint per
+    round truncates the lineage so plans stay flat. (The alternating
+    large-star/small-star variant halves rounds on pathological chains;
+    plain min-propagation is the right trade for near-dup graphs.)"""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_cluster_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The full near-dup DEDUP (not just pair finding): MinHash+LSH pairs
+    -> connected components -> keep the minimum-id document per cluster
+    (plus every unpaired document). This is the operator a 100 TB corpus
+    pipeline actually runs; pairs alone are an intermediate."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=threshold, hash_mode=hash_mode)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

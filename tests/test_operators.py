@@ -170,6 +170,30 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert uncapped > capped
 
 
+def test_connected_components_transitive(spark):
+    """A-B + B-C chain collapses to one component; D-E separate; the
+    propagation must close transitively (A and C never share a pair)."""
+    from datachain_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+    assert len(comp) == 9  # every node in a pair gets a label, nothing else
+
+
+def test_near_dup_cluster_dedup_keeps_one_per_cluster(spark, docs):
+    from datachain_spark.operators.dedup import near_dup_cluster_dedup
+
+    kept = sorted(r["doc_id"] for r in near_dup_cluster_dedup(docs, threshold=0.9).collect())
+    # docs 0,1,2 are one near-dup cluster -> keep 0; 3 and 4 are unpaired
+    assert kept == [0, 3, 4]
+
+
 # ---------------- text ----------------
 def test_token_count_and_quality(spark):
     df = spark.createDataFrame([("  the cat, and a dog!  ",), ("",)], "text string")
