@@ -38,10 +38,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", "2"))
 HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "8"))
-# 4x10^6 events (the BASELINE.md protocol size): long enough timed windows
-# that the Firecracker host's run-to-run noise (+-30-50% on sub-minute
-# commands) averages out inside each run instead of across runs
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+# 3x10^6 events: long enough timed windows that the Firecracker host's
+# run-to-run noise (+-30-50% on sub-minute commands) averages out inside
+# each run, short enough that the whole 5-level sweep stays ~20 min
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "3000000"))
 RUNS_PER_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # N->4N pairs reported (raw + capacity-normalized each); the PRIMARY
