@@ -11,8 +11,37 @@ commit manifests for incremental processing.
 Reference parity map: SURVEY.md §2 (operator inventory) and §7 (build plan).
 """
 
+from datachain_spark.chain import (
+    C,
+    Chain,
+    DeltaDisabledError,
+    datasets,
+    read_csv,
+    read_database,
+    read_dataset,
+    read_json,
+    read_pandas,
+    read_parquet,
+    read_records,
+    read_values,
+)
 from datachain_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "get_spark",
+    "Chain",
+    "C",
+    "DeltaDisabledError",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_values",
+    "read_records",
+    "read_pandas",
+    "read_dataset",
+    "read_database",
+    "datasets",
+    "__version__",
+]
