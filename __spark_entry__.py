@@ -355,6 +355,28 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with PLANTED duplicates (the
+    natural corpus has none above 0.5 cosine): each vec_id < 200 gets an
+    exact copy at vec_id+10000; hyperplane-LSH (md5 planes, reproducible
+    in DuckDB) must bucket every copy with its original, and the exact
+    cosine filter keeps only true near-dups among bucket collisions."""
+    from datachain_spark.operators.similarity import embedding_near_dups
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    allv = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    out = embedding_near_dups(allv, dim=64, threshold=0.95, hash_mode="md5")
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 3).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -640,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "near_dup_clusters": near_dup_clusters,
+        "embedding_near_dup_planted": embedding_near_dup_planted,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
@@ -724,6 +747,39 @@ def _near_dup_clusters_oracle_sql() -> str:
         )
         SELECT u AS doc_id, least(u, min(v)) AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
+def _embedding_near_dup_oracle_sql() -> str:
+    """Hyperplane signatures recomputed from first principles: plane(p,i)
+    = ((md5int('p#i') mod 2001) - 1000)/1000, bit p = sign(v . plane_p) —
+    identical arithmetic (and identical left-to-right double accumulation
+    order) to operators/similarity.hyperplane_signature(hash_mode='md5')."""
+    h = "CAST(('0x' || substr(md5(printf('%d#%d', {p}, i)), 1, 15)) AS BIGINT)"
+    planes = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(64), "
+        f"i -> v[i + 1] * (({h.format(p=p)} % 2001 - 1000) / 1000.0))) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(12)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 200
+        ),
+        allv AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 10000, v FROM base
+        ),
+        sig AS (
+          SELECT vec_id, v, {planes} AS s FROM allv
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 3) AS cos_sim
+        FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        ORDER BY id_a, id_b
     """
 
 
@@ -1058,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "embedding_near_dup_planted": _embedding_near_dup_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_oracle_sql(),
         # Full CDC-replay oracle, self-contained: the feed is pure
         # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates

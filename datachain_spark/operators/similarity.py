@@ -73,19 +73,34 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, hash_mode: str = "xxhash64"
+) -> Column:
     """Random-hyperplane LSH signature as an int: bit p = sign(v . h_p),
-    with deterministic pseudo-random planes h_p[i] = ((xxhash64(p,i) mod
-    2001) - 1000) / 1000 — reproducible across runs and languages."""
+    with deterministic pseudo-random planes h_p[i] = ((hash(p,i) mod
+    2001) - 1000) / 1000 — reproducible across runs and languages.
+    hash_mode='md5' derives the plane from md5(printf('%d#%d', p, i)),
+    bit-identical in DuckDB, so signatures (and thus LSH candidate sets)
+    are oracle-reproducible."""
+
+    def plane(p: int, i: Column) -> Column:
+        if hash_mode == "md5":
+            h = F.conv(
+                F.substring(F.md5(F.format_string(f"{p}#%d", i.cast("int"))), 1, 15), 16, 10
+            ).cast("long")
+        else:
+            h = F.xxhash64(F.lit(p), i)
+        return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
+
+    def dot_with_plane(p: int):
+        # closure factory: Spark's higher-order functions inspect the
+        # lambda's arity, so a `p=p` default parameter would break it
+        return lambda v, i: v * plane(p, i)
+
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         comp = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: v
-                * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - 1000) / 1000.0),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), dot_with_plane(p)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -104,12 +119,15 @@ def embedding_near_dups(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     self-join (only same-signature vectors are scored — near-identical
     vectors collide with high probability), then exact cosine filter.
     O(collisions), never all-pairs."""
-    sig = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    sig = df.withColumn(
+        "__sig", hyperplane_signature(F.col(vec_col), dim, n_planes, hash_mode)
+    )
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(
