@@ -437,11 +437,17 @@ class Chain:
                     for row in pdf[use].itertuples(index=False, name=None):
                         for item in proc(*row):
                             cell = _model_cell(item)
-                            rows.append(
-                                tuple(cell[n] for n in out_names)
-                                if isinstance(cell, dict)
-                                else tuple(cell)
-                            )
+                            if isinstance(cell, dict):
+                                rows.append(tuple(cell[n] for n in out_names))
+                            elif isinstance(cell, tuple):
+                                rows.append(cell)
+                            elif len(out_names) == 1:
+                                # scalar yield (Iterator[int] / Iterator[str]):
+                                # wrap as a 1-tuple — tuple("hi") would shred a
+                                # string into characters and tuple(5) raises.
+                                rows.append((cell,))
+                            else:
+                                rows.append(tuple(cell))
                     yield pd.DataFrame(rows, columns=out_names)
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
@@ -476,25 +482,75 @@ class Chain:
     def _table(self, name: str) -> LakeTable:
         return LakeTable(os.path.join(self.catalog_root, name))
 
-    def save(self, name: str, version: str | None = None) -> "Chain":
+    def save(
+        self,
+        name: str,
+        version: str | None = None,
+        key_cols: Sequence[str] | None = None,
+        num_buckets: int | None = None,
+    ) -> "Chain":
         """Materialize as a new version of dataset `name` (semver-tagged
         LakeTable snapshot; reference catalog.py:796-890 + dataset
-        versioning dataset.py:240-360). Auto-bumps the patch version."""
+        versioning dataset.py:240-360). Auto-bumps the patch version.
+
+        `key_cols`/`num_buckets` select a BUCKETED layout (hash of the
+        first key column), making the saved dataset a first-class CDC
+        merge target and giving reads bucket pruning; without them (and
+        with no pre-existing layout) the dataset is a single logical
+        bucket — file-level parallelism survives, pruning doesn't."""
         root = os.path.join(self.catalog_root, name)
         df = self.df
         if not LakeTable.exists(root):
-            table = LakeTable.create(root, df.schema, key_cols=[], num_buckets=1)
+            table = LakeTable.create(
+                root,
+                df.schema,
+                key_cols=list(key_cols) if key_cols else [],
+                num_buckets=num_buckets or (16 if key_cols else 1),
+            )
         else:
             table = LakeTable(root)
+            if key_cols and list(key_cols) != table.snapshot().key_cols:
+                raise ValueError(
+                    f"dataset {name!r} already has key_cols="
+                    f"{table.snapshot().key_cols}; cannot re-key on save"
+                )
         ver = version or _next_semver(table)
         out_dir = table.data_dir(f"save={table.current_version() + 1}")
-        df.write.mode("overwrite").parquet(out_dir)
-        files = [
-            os.path.relpath(os.path.join(out_dir, f), table.root)
-            for f in sorted(os.listdir(out_dir))
-            if f.endswith(".parquet")
-        ]
-        table.commit(replace_bucket_files={0: files}, schema=df.schema, tag=ver)
+        snap_keys = table.snapshot().key_cols
+        if snap_keys:
+            # bucketed write: same deterministic bucket expr as the CDC
+            # apply path, one output dir per bucket (mirrors compact())
+            bucketed = df.withColumn("__bucket", table.bucket_expr(snap_keys[0]))
+            (
+                bucketed.repartition(table.num_buckets, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(out_dir)
+            )
+            replace: dict[int, list[str]] = {}
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith("__bucket="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                bdir = os.path.join(out_dir, entry)
+                replace[b] = sorted(
+                    os.path.relpath(os.path.join(bdir, f), table.root)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+            # replace EVERY bucket (absent ones become empty) so save stays
+            # full-snapshot semantics even on a pre-existing table
+            for b in range(table.num_buckets):
+                replace.setdefault(b, [])
+            table.commit(replace_bucket_files=replace, schema=df.schema, tag=ver)
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
+            files = [
+                os.path.relpath(os.path.join(out_dir, f), table.root)
+                for f in sorted(os.listdir(out_dir))
+                if f.endswith(".parquet")
+            ]
+            table.commit(replace_bucket_files={0: files}, schema=df.schema, tag=ver)
         return read_dataset(df.sparkSession, name, catalog_root=self.catalog_root)
 
     # ---------- sinks (reference datachain.py:2352-2667) ----------
@@ -659,8 +715,13 @@ def _resolve_semver_spec(table: LakeTable, spec: str) -> int:
             if clause.startswith(op):
                 rhs_raw = clause[len(op) :].strip()
                 rhs = parse(rhs_raw)
-                if op == "~=":  # compatible release: >= rhs, same major
-                    return ver >= rhs and ver[0] == rhs[0]
+                if op == "~=":
+                    # PEP 440 compatible release: pin all but the LAST given
+                    # component — ~=1.2.3 means >=1.2.3,<1.3.0 (not "same
+                    # major", which would let ~=1.2.3 match 1.9.0)
+                    given = len([x for x in rhs_raw.lstrip("v").split(".") if x != ""])
+                    pin = max(given - 1, 1)
+                    return ver >= rhs and ver[:pin] == rhs[:pin]
                 if op in ("==", "="):
                     return ver == rhs
                 if op == "!=":

@@ -90,5 +90,8 @@ def compare_and_split(
     on: Sequence[str],
     compare: Sequence[str] | None = None,
 ) -> dict[str, DataFrame]:
-    d = diff(left, right, on, compare)
+    # persist: callers consume several of the four splits, and without this
+    # each split re-executes the full-outer join (the reference operates on
+    # a materialized compared chain, diff/__init__.py:166-252)
+    d = diff(left, right, on, compare).persist()
     return {s: d.filter(F.col("diff_status") == s).drop("diff_status") for s in STATUSES}

@@ -27,6 +27,20 @@ def normalize_for_dedup(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Signature computation is CPU-bound, and Spark gives a scan only as
+    many tasks as input splits — a small corpus in one parquet file would
+    run the whole shingling/hashing stage on ONE core. Spread by key when
+    the scan has fewer partitions than the cluster's parallelism; the one
+    extra shuffle of raw text is noise next to per-shingle hashing (and at
+    real scale the scan already has thousands of splits, so this is a
+    no-op: the condition is partition-count metadata, no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical (normalized) text.
     One hash-shuffle on the fingerprint; partial aggregation map-side."""
@@ -127,11 +141,16 @@ def minhash_lsh_pairs(
     # then take the 32 permutation-mins over that array — Catalyst does not
     # CSE subexpressions across higher-order functions, so a single-stage
     # formulation recomputes shingling per permutation (measured 10x slower)
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda s: _base_hash(s, hash_mode)).alias("_base"),
     )
     sig = base.select("id", minhash_from_base(F.col("_base"), num_hashes).alias("sig"))
+    # band key = variadic xxhash64 over the band's signature components
+    # indexed directly — no transform/cast-to-string/array_join tree (the
+    # old string fold was ~3x the expression cost; any collision only adds
+    # a CANDIDATE, which the exact n_match verification below filters, so
+    # the pigeonhole oracle-equivalence is unaffected)
     banded = sig.select(
         "id",
         "sig",
@@ -141,13 +160,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[F.col("sig")[b * rows_per_band + j] for j in range(rows_per_band)]
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -226,6 +239,7 @@ def simhash_near_dups(
     (DuckDB all-pairs over the same signatures, hash_mode='md5') matches
     value-for-value."""
     bits = 60 if hash_mode == "md5" else 64
+    df = _spread(df, id_col)
     h = df.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits=bits, hash_mode=hash_mode).alias("sh"),
@@ -314,6 +328,19 @@ def connected_components(
         labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        # exhausted max_iters with labels still moving: the labels are WRONG
+        # (a component of diameter > max_iters is still split); surface it
+        # loudly rather than silently keeping extra "duplicates".
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); returned components are split. "
+            "Raise max_iters (diameter-bounded) for long near-dup chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -357,7 +384,7 @@ def ngram_jaccard_pairs(
     similarity driven purely by boilerplate shingles — the accepted
     trade-off of the technique. Candidate set is bounded by
     sum(df_g^2) over kept shingles, never all-pairs."""
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

@@ -24,19 +24,31 @@ def salted_agg(
     keys: Sequence[str] | str,
     aggs: dict[str, tuple[str, str]],
     salt: int = 16,
+    salt_on: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """aggs: out_name -> (kind, col) with kind in
     {count, sum, min, max, avg}. Example:
         salted_agg(events, "user_id", {"n": ("count", "*"),
                                        "total": ("sum", "value"),
-                                       "mean": ("avg", "value")})
+                                       "mean": ("avg", "value")},
+                   salt_on="event_id")
+
+    `salt_on`: column(s) whose hash spreads a hot key across reducers —
+    pass a per-row identity (event id, LSN) when rows under a hot key can
+    be exact duplicates, since the full-row fallback hashes duplicates to
+    ONE salt bucket and the mitigation degrades to no salting.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    # salt from a content hash of the whole row, NOT monotonically_increasing_id:
-    # the latter is partition-layout-dependent, so a recomputed/speculated task
-    # could re-salt rows differently and double-count a retried partial. A
-    # deterministic per-row hash is retry-stable and equally uniform.
-    s = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    # salt from a content hash, NOT monotonically_increasing_id: the latter
+    # is partition-layout-dependent, so a recomputed/speculated task could
+    # re-salt rows differently and double-count a retried partial. A
+    # deterministic hash is retry-stable; prefer `salt_on` identity cols so
+    # duplicate rows still spread (full-row hash sends copies to one bucket).
+    if salt_on is not None:
+        salt_cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
+    else:
+        salt_cols = list(df.columns)
+    s = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
 
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []

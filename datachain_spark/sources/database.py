@@ -67,9 +67,29 @@ def read_database(
     return r.options(**props).load()
 
 
-def _exec_update(spark: SparkSession, url: str, *statements: str) -> None:
+def _connect(spark: SparkSession, url: str, driver: str | None, props: dict[str, str]):
+    """Driver-side JDBC connection that honors the SAME credentials/options
+    as the executor bulk writes: user/password passed as **props reach the
+    database here too (URL-embedded-only credentials broke every
+    authenticated MERGE/DROP before)."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, jprops)
+
+
+def _exec_update(
+    spark: SparkSession,
+    url: str,
+    *statements: str,
+    driver: str | None = None,
+    props: dict[str, str] | None = None,
+) -> None:
     """Driver-side DDL/DML through the JVM's DriverManager (py4j)."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _connect(spark, url, driver, props or {})
     try:
         st = conn.createStatement()
         try:
@@ -81,8 +101,14 @@ def _exec_update(spark: SparkSession, url: str, *statements: str) -> None:
         conn.close()
 
 
-def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+def _table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    props: dict[str, str] | None = None,
+) -> bool:
+    conn = _connect(spark, url, driver, props or {})
     try:
         rs = conn.getMetaData().getTables(None, None, table, None)
         try:
@@ -121,10 +147,17 @@ def to_database(
     if not on_conflict:
         write(table, mode)
         return
-    if not _table_exists(spark, url, table):
+    if not _table_exists(spark, url, table, driver=driver, props=props):
         write(table, "errorifexists")
         return
-    stage = f"{table}_STAGE_{abs(hash((table, tuple(df.columns)))) % 10_000_000}"
+    # uuid staging name: unique under concurrent upserts to the same table
+    # (Python's salted hash() collided), dropped in the finally below
+    import uuid
+
+    # upper-case suffix: Spark's JDBC writer emits the name unquoted, so
+    # Derby/ANSI databases fold it to upper case — the quoted MERGE/DROP
+    # references below must match exactly
+    stage = f"{table}_STAGE_{uuid.uuid4().hex[:12].upper()}"
     write(stage, "overwrite")
     keys = list(on_conflict)
     non_keys = [c for c in df.columns if c not in keys]
@@ -138,6 +171,6 @@ def to_database(
         + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
     try:
-        _exec_update(spark, url, merge)
+        _exec_update(spark, url, merge, driver=driver, props=props)
     finally:
-        _exec_update(spark, url, f"DROP TABLE {_q(stage)}")
+        _exec_update(spark, url, f"DROP TABLE {_q(stage)}", driver=driver, props=props)
