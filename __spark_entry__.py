@@ -377,6 +377,66 @@ def embedding_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs over inverted-index candidates
+    (operators/dedup.py ngram_jaccard_pairs). At oracle scale no shingle
+    exceeds max_df, so the capped operator output equals DuckDB's
+    brute-force all-pairs Jaccard exactly; pairs sharing zero shingles
+    cannot pass a positive threshold, so the inner join loses nothing."""
+    from datachain_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    out = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100_000)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def lsh_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (operators/similarity.py lsh_topk):
+    single-probe signature bucket join, md5 planes so DuckDB recomputes the
+    identical signatures — the candidate SET (not just the ranking) is
+    verified value-exact. 4 planes -> 16 buckets keeps buckets populated at
+    oracle scale."""
+    from datachain_spark.operators.similarity import lsh_topk
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_topk(emb, qs, dim=64, k=3, n_planes=4, hash_mode="md5")
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 3).alias("cos_sim"), "rk"
+    ).orderBy("q_id", "rk")
+
+
+def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over REAL k-means centroids (operators/similarity.py
+    train_centroids_kmeans + ivf_topk): md5 hash-rank seeding and
+    round_to=6 centroid quantization make the full Lloyd iteration
+    DuckDB-reproducible, so the oracle re-trains the same centroids in SQL
+    and must produce the identical inverted file, probe set, and top-k."""
+    from datachain_spark.operators.similarity import ivf_topk, train_centroids_kmeans
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = train_centroids_kmeans(emb, k=4, iters=2, hash_mode="md5", round_to=6)
+    out = ivf_topk(emb, qs, cents, k=3, nprobe=2)
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 3).alias("cos_sim"), "rk"
+    ).orderBy("q_id", "rk")
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -664,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": near_dup_clusters,
         "embedding_near_dup_planted": embedding_near_dup_planted,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "lsh_topk_ann": lsh_topk_ann,
+        "ivf_topk_kmeans": ivf_topk_kmeans,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
@@ -810,6 +873,135 @@ def _simhash_oracle_sql() -> str:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    """Brute-force all-pairs Jaccard over the same distinct 3-gram shingle
+    sets (no inverted index needed at oracle scale). The threshold test is
+    done in exact integer arithmetic (2*inter >= union <=> inter/union >=
+    0.5) to dodge any float-division edge."""
+    return f"""
+        WITH norm AS (
+          SELECT doc_id AS id, regexp_split_to_array({_NORM}, ' ') AS toks
+          FROM documents WHERE doc_id < 2000
+        ),
+        grams AS (
+          SELECT id, CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE [] END AS g
+          FROM norm
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.g, b.g)) AS inter,
+                 len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un
+          FROM grams a JOIN grams b ON a.id < b.id
+        )
+        SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 3) AS jaccard
+        FROM pairs WHERE inter >= 1 AND 2 * inter >= un
+        ORDER BY id_a, id_b
+    """
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """4-plane md5 hyperplane signatures recomputed from first principles
+    (same arithmetic as the embedding_near_dup oracle), single-probe bucket
+    join, top-3 per query."""
+    h = "CAST(('0x' || substr(md5(printf('%d#%d', {p}, i)), 1, 15)) AS BIGINT)"
+    planes = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(64), "
+        f"i -> v[i + 1] * (({h.format(p=p)} % 2001 - 1000) / 1000.0))) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 500
+        ),
+        sig AS (SELECT vec_id, v, {planes} AS s FROM base),
+        q AS (SELECT vec_id AS q_id, v AS qv, s FROM sig WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cs
+          FROM sig c JOIN q ON c.s = q.s AND q.q_id <> c.vec_id
+        )
+        SELECT q_id, vec_id, round(cs, 3) AS cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk
+    """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """Re-trains the k-means centroids in SQL — md5 hash-rank seeds, two
+    unrolled Lloyd iterations with means quantized to 6 decimals (exactly
+    what train_centroids_kmeans(round_to=6) stores) — then rebuilds the
+    inverted file (nearest cell per corpus vector), probes each query's 2
+    nearest cells, and ranks top-3 by exact cosine. Empty cells keep their
+    seed centroid via the LEFT JOIN coalesce, mirroring the operator."""
+    seed_hash = "CAST(('0x' || substr(md5(printf('%d', vec_id)), 1, 15)) AS BIGINT)"
+
+    def means(assigned: str, seeds: str) -> str:
+        return f"""
+          SELECT s.cell, coalesce(m.c, s.c) AS c
+          FROM {seeds} s LEFT JOIN (
+            SELECT cell, list(round(mv, 6) ORDER BY i) AS c
+            FROM (
+              SELECT a.cell, t.i, sum(a.v[t.i]) / count(*) AS mv
+              FROM {assigned} a CROSS JOIN range(1, 65) t(i)
+              GROUP BY a.cell, t.i
+            ) GROUP BY cell
+          ) m ON s.cell = m.cell
+        """
+
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 400
+        ),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY {seed_hash}) - 1 AS cell, v AS c
+          FROM base ORDER BY {seed_hash} LIMIT 4
+        ),
+        a1 AS (
+          SELECT b.vec_id, b.v, s.cell
+          FROM base b CROSS JOIN seeds s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        c1 AS ({means('a1', 'seeds')}),
+        a2 AS (
+          SELECT b.vec_id, b.v, s.cell
+          FROM base b CROSS JOIN c1 s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        c2 AS ({means('a2', 'c1')}),
+        inv AS (
+          SELECT b.vec_id, b.v, s.cell
+          FROM base b CROSS JOIN c2 s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        qprobe AS (
+          SELECT b.vec_id AS q_id, b.v AS qv, s.cell
+          FROM base b CROSS JOIN c2 s
+          WHERE b.vec_id < 5
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) <= 2
+        ),
+        scored AS (
+          SELECT q.q_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cs
+          FROM inv c JOIN qprobe q ON c.cell = q.cell AND q.q_id <> c.vec_id
+        )
+        SELECT q_id, vec_id, round(cs, 3) AS cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk
     """
 
 
@@ -1115,6 +1307,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "embedding_near_dup_planted": _embedding_near_dup_oracle_sql(),
+        "ngram_jaccard_near_dups": _ngram_jaccard_oracle_sql(),
+        "lsh_topk_ann": _lsh_topk_oracle_sql(),
+        "ivf_topk_kmeans": _ivf_topk_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_oracle_sql(),
         # Full CDC-replay oracle, self-contained: the feed is pure
         # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates

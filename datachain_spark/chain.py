@@ -597,6 +597,35 @@ class Chain:
         for r in self.df.toLocalIterator():
             yield tuple(r)
 
+    def to_pytorch(self, transform: Callable[[dict], Any] | None = None):
+        """An IterableDataset over this chain (reference lib/pytorch.py
+        PytorchDataset): rows stream via toLocalIterator (never a full
+        collect), and under a multi-worker DataLoader each worker reads its
+        own deterministic shard via chunk(worker_id, num_workers) — the
+        reference shards the same way (lib/pytorch.py:116-132). Requires
+        torch at call time only (import-gated: the sandbox has no torch)."""
+        try:
+            from torch.utils.data import IterableDataset, get_worker_info
+        except ImportError as e:  # pragma: no cover - torch absent here
+            raise ImportError("to_pytorch requires torch (pip install torch)") from e
+
+        chain = self
+        cols = self.df.columns
+
+        class _ChainDataset(IterableDataset):
+            def __iter__(self):
+                info = get_worker_info()
+                src = (
+                    chain
+                    if info is None or info.num_workers <= 1
+                    else chain.chunk(info.id, info.num_workers)
+                )
+                for row in src.to_iter():
+                    rec = dict(zip(cols, row))
+                    yield transform(rec) if transform is not None else rec
+
+        return _ChainDataset()
+
     def collect(self) -> list[tuple]:
         return self.to_list()
 

@@ -168,12 +168,29 @@ def ivf_assign(
     return df.withColumn(out_col, F.transform(ranked, lambda s: s["cell"]))
 
 
-def train_centroids_by_hash(df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+def _id_hash(col: Column, hash_mode: str) -> Column:
+    """Deterministic id hash for seeding. `md5` is bit-identical in DuckDB
+    (CAST('0x' || substr(md5(printf('%d', id)), 1, 15) AS BIGINT)) so the
+    driver oracle reproduces the exact seed set."""
+    if hash_mode == "md5":
+        return F.conv(
+            F.substring(F.md5(F.format_string("%d", col.cast("long"))), 1, 15), 16, 10
+        ).cast("long")
+    return F.xxhash64(col)
+
+
+def train_centroids_by_hash(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
+) -> list[list[float]]:
     """Deterministic seeding: pick k spread-out corpus vectors by hash
     rank. Used directly for cheap IVF, and as the init for
     train_centroids_kmeans."""
     rows = (
-        df.withColumn("__h", F.xxhash64(F.col(id_col)))
+        df.withColumn("__h", _id_hash(F.col(id_col), hash_mode))
         .orderBy("__h")
         .limit(k)
         .select(vec_col)
@@ -188,6 +205,8 @@ def train_centroids_kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
+    round_to: int | None = None,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over the embedding column, pure
     DataFrame ops: per iteration, (1) assign each vector to its nearest
@@ -196,8 +215,14 @@ def train_centroids_kmeans(
     groupBy(cell) shuffle using element-wise array sums
     (zip_with-accumulated), so cost per iteration is one pass + one
     k-row-output shuffle regardless of corpus size. Deterministic:
-    hash-rank init, no RNG. Empty cells keep their previous centroid."""
-    centroids = train_centroids_by_hash(df, k, id_col, vec_col)
+    hash-rank init, no RNG. Empty cells keep their previous centroid.
+
+    `round_to` quantizes each recomputed mean to that many decimals: float
+    sums are partition-order-dependent in Spark, so unrounded centroids can
+    differ in the last ulp across cluster sizes / retries; quantizing makes
+    the trained centroids (and every downstream assignment) deterministic —
+    and lets a DuckDB oracle reproduce the iteration exactly."""
+    centroids = train_centroids_by_hash(df, k, id_col, vec_col, hash_mode)
     dim = len(centroids[0]) if centroids else 0
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col, nprobe=1).withColumn(
@@ -216,7 +241,10 @@ def train_centroids_kmeans(
         )
         new: dict[int, list[float]] = {}
         for r in rows:
-            new.setdefault(int(r["__cell"]), [0.0] * dim)[int(r["pos"])] = r["s"] / r["n"]
+            m = r["s"] / r["n"]
+            if round_to is not None:
+                m = round(m, round_to)
+            new.setdefault(int(r["__cell"]), [0.0] * dim)[int(r["pos"])] = m
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]
     return centroids
 
@@ -269,13 +297,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     query_vec_col: str = "q_vec",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane
     signature matches the query's (single-probe). At 100 TB the bucket join
     is an equi-join shuffle on the signature — no broadcast of the corpus,
-    no all-pairs."""
-    c = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("__sig", hyperplane_signature(F.col(query_vec_col), dim, n_planes))
+    no all-pairs. hash_mode='md5' makes the planes DuckDB-reproducible."""
+    c = corpus.withColumn(
+        "__sig", hyperplane_signature(F.col(vec_col), dim, n_planes, hash_mode)
+    )
+    q = queries.withColumn(
+        "__sig", hyperplane_signature(F.col(query_vec_col), dim, n_planes, hash_mode)
+    )
     scored = (
         c.join(q, "__sig")
         .select(

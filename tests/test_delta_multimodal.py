@@ -127,3 +127,56 @@ def test_multimodal_decode_and_frames(spark):
     assert f and all(r["count"] >= 1 for r in f)
     # schema plumbing: binary payloads survive the Arrow round trip
     assert dict(frames.dtypes)["frame_payload"] == "binary"
+
+
+def test_bmp_codec_roundtrip_pure():
+    # pure-Python roundtrip incl. a width needing row padding (w*3 % 4 != 0)
+    from datachain_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    for w, h in [(3, 2), (8, 8), (5, 7)]:
+        payload = encode_bmp(w, h, seed=42)
+        assert payload[:2] == b"BM"
+        d = parse_bmp(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        assert 0.0 <= d["mean_pixel"] <= 255.0
+        assert d["phash"] >= 0
+    # identical images -> identical aHash; different seeds -> (almost surely) different
+    assert parse_bmp(encode_bmp(8, 8, 1)) == parse_bmp(encode_bmp(8, 8, 1))
+    import pytest as _p
+
+    with _p.raises(ValueError, match="not a BMP"):
+        parse_bmp(b"nope")
+
+
+def test_wav_codec_roundtrip_pure():
+    from datachain_spark.operators.multimodal import encode_wav, parse_wav
+
+    payload = encode_wav(300, sample_rate=8000, seed=7)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = parse_wav(payload)
+    assert d["duration_ms"] == 300
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["mean_amp"] > 0
+
+
+def test_decode_media_real_bytes(spark):
+    """The round-3 un-stubbing: decode_media parses REAL encoded bytes —
+    decoded dims/durations must equal the metadata the encoder was given
+    (no NotImplementedError path on image/audio)."""
+    from datachain_spark.operators.multimodal import decode_media
+
+    media = gen_fake_media(spark, 30)
+    out = decode_media(media).collect()
+    imgs = [r for r in out if r["kind"] == "image"]
+    auds = [r for r in out if r["kind"] == "audio"]
+    vids = [r for r in out if r["kind"] == "video"]
+    assert imgs and auds and vids
+    for r in imgs:
+        assert r["dec_width"] == r["width"] and r["dec_height"] == r["height"]
+        assert r["phash"] is not None and 0.0 <= r["mean_pixel"] <= 255.0
+    for r in auds:
+        assert r["dec_duration_ms"] == r["duration_ms"]
+        assert r["channels"] == 1 and r["sample_rate"] == 8000 and r["mean_amp"] > 0
+    # video: no stdlib demuxer -> only n_bytes (the honest hook-shaped gap)
+    for r in vids:
+        assert r["n_bytes"] > 0 and r["dec_width"] is None and r["phash"] is None
