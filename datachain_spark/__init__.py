@@ -27,7 +27,7 @@ from datachain_spark.chain import (
 )
 from datachain_spark.session import get_spark
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "get_spark",

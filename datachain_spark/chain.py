@@ -342,6 +342,9 @@ class Chain:
         fn: Callable[..., Any] | Any = None,
         output: dict[str, Any] | T.StructType | None = None,
         params: list[str] | None = None,
+        checkpoint: str | None = None,
+        checkpoint_on: Sequence[str] | None = None,
+        checkpoint_rows: int = 200_000,
         **signal_map: Callable[..., Any],
     ) -> "Chain":
         """1:1 mapper. `fn` is called per row with `params` values (like the
@@ -358,7 +361,13 @@ class Chain:
           structs);
         - `fn` may be a Mapper-style object with process() and optional
           setup()/teardown(), run once per Python worker
-          (lib/udf.py:241-249)."""
+          (lib/udf.py:241-249).
+
+        `checkpoint=dir` enables ROW-LEVEL RESUME (reference
+        query/dataset.py:1221-1360): output is persisted in ~checkpoint_rows
+        committed chunks keyed by a content hash of `checkpoint_on` (default:
+        all input columns); a crashed run reprocesses only rows without
+        committed output. Requires a deterministic fn. Materializes eagerly."""
         default_name = None
         if fn is None:
             if len(signal_map) != 1:
@@ -376,6 +385,35 @@ class Chain:
         out_schema = T.StructType(list(self.df.schema.fields) + list(out_struct.fields))
         out_fields = list(out_struct.fields)
         expand = len(out_fields) > 1
+
+        if checkpoint is not None:
+            from datachain_spark.checkpoint import checkpointed_udf
+
+            names = [f.name for f in out_fields]
+
+            def row_adapter(proc, row, _expand=expand, _names=tuple(names)):
+                cell = _model_cell(proc(*row))
+                if _expand:
+                    return [
+                        tuple(cell[n] for n in _names)
+                        if isinstance(cell, dict)
+                        else tuple(cell)
+                    ]
+                return [(cell,)]
+
+            return self._evolve(
+                checkpointed_udf(
+                    self.df,
+                    fn,
+                    row_adapter,
+                    out_struct,
+                    checkpoint,
+                    use,
+                    key_cols=list(checkpoint_on) if checkpoint_on else None,
+                    rows_per_commit=checkpoint_rows,
+                    is_gen=False,
+                )
+            )
 
         def run(batches):
             with Lifecycle(fn) as proc:
@@ -413,11 +451,17 @@ class Chain:
         fn: Callable[..., Iterable] | Any,
         output: dict[str, Any] | T.StructType | None = None,
         params: list[str] | None = None,
+        checkpoint: str | None = None,
+        checkpoint_on: Sequence[str] | None = None,
+        checkpoint_rows: int = 200_000,
     ) -> "Chain":
         """1:N generator (reference Generator, lib/udf.py:541-597): `fn`
         yields output tuples (or model instances) per input row; runs over
         Arrow batches. Output schema inferable from an Iterator[Model] /
-        Iterator[T] return annotation; setup()/teardown() honored."""
+        Iterator[T] return annotation; setup()/teardown() honored.
+        `checkpoint=dir` enables row-level resume (see map); input rows
+        whose outputs (possibly zero — recorded via an explicit marker)
+        are committed are never re-generated."""
         import pandas as pd
 
         use = params if params is not None else infer_params(fn, self.df.columns)
@@ -430,24 +474,46 @@ class Chain:
         )
         out_names = [f.name for f in out_schema.fields]
 
+        def _gen_cells(proc, row, _names=tuple(out_names)):
+            rows = []
+            for item in proc(*row):
+                cell = _model_cell(item)
+                if isinstance(cell, dict):
+                    rows.append(tuple(cell[n] for n in _names))
+                elif isinstance(cell, tuple):
+                    rows.append(cell)
+                elif len(_names) == 1:
+                    rows.append((cell,))
+                else:
+                    rows.append(tuple(cell))
+            return rows
+
+        if checkpoint is not None:
+            from datachain_spark.checkpoint import checkpointed_udf
+
+            return self._evolve(
+                checkpointed_udf(
+                    self.df,
+                    fn,
+                    _gen_cells,
+                    out_schema,
+                    checkpoint,
+                    use,
+                    key_cols=list(checkpoint_on) if checkpoint_on else None,
+                    rows_per_commit=checkpoint_rows,
+                    is_gen=True,
+                )
+            )
+
         def run(batches):
             with Lifecycle(fn) as proc:
                 for pdf in batches:
+                    # scalar (non-dict/tuple) yields wrap as 1-tuples inside
+                    # _gen_cells — tuple("hi") would shred a string into
+                    # characters and tuple(5) raises
                     rows = []
                     for row in pdf[use].itertuples(index=False, name=None):
-                        for item in proc(*row):
-                            cell = _model_cell(item)
-                            if isinstance(cell, dict):
-                                rows.append(tuple(cell[n] for n in out_names))
-                            elif isinstance(cell, tuple):
-                                rows.append(cell)
-                            elif len(out_names) == 1:
-                                # scalar yield (Iterator[int] / Iterator[str]):
-                                # wrap as a 1-tuple — tuple("hi") would shred a
-                                # string into characters and tuple(5) raises.
-                                rows.append((cell,))
-                            else:
-                                rows.append(tuple(cell))
+                        rows.extend(_gen_cells(proc, row))
                     yield pd.DataFrame(rows, columns=out_names)
 
         return self._evolve(self.df.mapInPandas(run, out_schema))

@@ -1,0 +1,157 @@
+"""Row-level UDF checkpoint resume for long map/gen stages.
+
+The reference resumes a crashed `.map()`/`.gen()` mid-stage, reprocessing
+only input rows that have no persisted output yet (reference
+query/dataset.py:1221-1360, 1439-1457; tests/func/checkpoints/
+test_checkpoint_recovery.py:28-641 — partial UDF output tables keyed by
+row). Spark's native recovery unit is the task, so a crashed *job* loses
+everything since the last committed write; this module restores the
+reference's behavior Spark-first:
+
+- Every input row gets a deterministic content key (xxhash64 of the key
+  columns, or of all input columns when none are given).
+- The remaining work is processed in CHUNKS of ~`rows_per_commit` rows;
+  each chunk is one distributed mapInPandas job whose output lands in its
+  own `commit=<uuid>` parquet directory — the `_SUCCESS` marker is the
+  atomic commit point, exactly like the CDC segment writes
+  (cdc/apply.py:262-285).
+- A chunk's files carry one row per OUTPUT row plus an explicit
+  zero-output marker row per input key that produced nothing (`__n_out=0`)
+  — so "processed" is recorded even for silent keys and a gen() that
+  filters everything still resumes correctly.
+- On rerun, done keys = the keys present in committed chunk dirs; the
+  input is anti-joined against them and only the remainder runs. A crash
+  between chunk jobs loses at most one uncommitted chunk (its dir has no
+  `_SUCCESS` and is ignored and overwritten-safe: fresh uuid per attempt).
+
+The store is namespaced by a fingerprint of (output schema, params, key
+columns): changing the UDF signature starts a fresh checkpoint rather
+than resuming into mismatched output (the reference hashes the UDF for
+the same reason).
+
+Scale shape: the driver loop is over CHUNK JOBS, never rows; every step —
+key hashing, anti-join, UDF, commit write — is a distributed DataFrame
+op. The anti-join shuffles only key hashes (8 bytes/row); chunk selection
+is a pmod filter on the same hash, so resume cost is O(remaining), not
+O(done).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEY_COL = "__ckpt_key"
+NOUT_COL = "__n_out"
+
+
+def _fingerprint(out_schema: T.StructType, use: list[str], key_cols: list[str]) -> str:
+    blob = json.dumps(
+        {"schema": out_schema.jsonValue(), "params": use, "keys": key_cols}, sort_keys=True
+    )
+    return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
+def _committed_dirs(store_ns: str) -> list[str]:
+    if not os.path.isdir(store_ns):
+        return []
+    return sorted(
+        os.path.join(store_ns, d)
+        for d in os.listdir(store_ns)
+        if d.startswith("commit=")
+        and os.path.exists(os.path.join(store_ns, d, "_SUCCESS"))
+    )
+
+
+def checkpointed_udf(
+    df: DataFrame,
+    fn: Callable,
+    row_adapter: Callable,
+    out_struct: T.StructType,
+    store: str,
+    use: list[str],
+    key_cols: list[str] | None = None,
+    rows_per_commit: int = 200_000,
+    is_gen: bool = False,
+) -> DataFrame:
+    """Run a per-row UDF with row-level resume; returns the output rows
+    (map: out columns appended to the input via a KEY join; gen: out
+    columns only). `fn` is the user callable/Mapper (setup()/teardown()
+    honored once per worker via Lifecycle); `row_adapter(proc, row_tuple)
+    -> list[tuple]` yields the schema-ordered output tuples for one row."""
+    import pandas as pd
+
+    from datachain_spark.udf import Lifecycle
+
+    spark = df.sparkSession
+    keys = list(key_cols) if key_cols else list(df.columns)
+    keyed = df.withColumn(KEY_COL, F.xxhash64(*[F.col(c) for c in keys]))
+    ns = os.path.join(store, _fingerprint(out_struct, use, keys))
+    os.makedirs(ns, exist_ok=True)
+
+    store_schema = T.StructType(
+        [T.StructField(KEY_COL, T.LongType(), False)]
+        + [T.StructField(f.name, f.dataType, True) for f in out_struct.fields]
+        + [T.StructField(NOUT_COL, T.IntegerType(), False)]
+    )
+    out_names = [f.name for f in out_struct.fields]
+
+    def load_store() -> DataFrame:
+        dirs = _committed_dirs(ns)
+        if not dirs:
+            return spark.createDataFrame([], store_schema)
+        return spark.read.schema(store_schema).parquet(*dirs)
+
+    done = load_store().select(KEY_COL).distinct()
+    remaining = keyed.join(done, KEY_COL, "left_anti")
+    # one small count job decides the chunking — metadata-scale driver work
+    n_remaining = remaining.count()
+    if n_remaining:
+        n_chunks = max(1, math.ceil(n_remaining / rows_per_commit))
+
+        def make_runner():
+            def run(batches):
+                with Lifecycle(fn) as proc:
+                    for pdf in batches:
+                        rows = []
+                        key_vals = pdf[KEY_COL]
+                        for i, row in enumerate(
+                            pdf[use].itertuples(index=False, name=None)
+                        ):
+                            outs = row_adapter(proc, row)
+                            if outs:
+                                for o in outs:
+                                    rows.append((int(key_vals.iloc[i]), *o, len(outs)))
+                            else:
+                                # explicit zero-output marker: the key is DONE
+                                rows.append(
+                                    (int(key_vals.iloc[i]), *([None] * len(out_names)), 0)
+                                )
+                        yield pd.DataFrame(
+                            rows, columns=[KEY_COL, *out_names, NOUT_COL]
+                        )
+
+            return run
+
+        for i in range(n_chunks):
+            chunk = remaining.filter(F.pmod(F.col(KEY_COL), F.lit(n_chunks)) == i)
+            out_rows = chunk.mapInPandas(make_runner(), store_schema)
+            commit_dir = os.path.join(ns, f"commit={uuid.uuid4().hex[:12]}")
+            # parquet job commit (_SUCCESS) is the atomic checkpoint point
+            out_rows.write.mode("overwrite").parquet(commit_dir)
+
+    produced = load_store().filter(F.col(NOUT_COL) > 0).drop(NOUT_COL)
+    # only this input's keys (the store may hold more from wider past runs)
+    produced = produced.join(keyed.select(KEY_COL).distinct(), KEY_COL, "left_semi")
+    if is_gen:
+        return produced.drop(KEY_COL)
+    # map (1:1): reattach outputs to the full input rows
+    return keyed.join(produced, KEY_COL, "inner").drop(KEY_COL)

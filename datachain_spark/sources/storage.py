@@ -23,6 +23,8 @@ save() it for reuse).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,6 +106,54 @@ def _re_quote(s: str) -> str:
     import re
 
     return re.escape(s)
+
+
+def cached_listing(
+    spark: SparkSession,
+    uri: str,
+    cache_root: str,
+    ttl_seconds: int = 4 * 3600,
+    recursive: bool = True,
+    glob: str | None = None,
+    update: bool = False,
+    column: str = "file",
+) -> DataFrame:
+    """Persistent listing reuse (reference lib/listing.py:26-61: bucket
+    listings are saved as `lst__<hash>` datasets with a 4h TTL shared
+    across processes). The META listing (File struct, no bytes) is
+    materialized to parquet under `cache_root`; later calls within the TTL
+    read the parquet instead of re-listing the bucket — at 10^8 objects a
+    listing is an expensive distributed crawl worth sharing. `update=True`
+    forces a re-list (the reference's update flag). Returns the File-struct
+    DataFrame; pair with parse_tabular / file_diff like a live listing.
+
+    Only the LISTING is cached — content reads (type='binary'/'text') stay
+    live, exactly like the reference's lazy File readers."""
+    import hashlib
+    import json
+    import time
+
+    key = hashlib.md5(f"{uri}|{recursive}|{glob}".encode()).hexdigest()[:16]
+    cdir = os.path.join(cache_root, f"lst__{key}")
+    meta_path = os.path.join(cdir, "_listing_meta.json")
+    data_dir = os.path.join(cdir, "data")
+    fresh = False
+    if not update and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        fresh = (time.time() - meta["created_at"]) < ttl_seconds
+    if not fresh:
+        df = read_storage(
+            spark, uri, type="meta", recursive=recursive, glob=glob,
+            update=True, column=column,
+        )
+        df.write.mode("overwrite").parquet(data_dir)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"uri": uri, "glob": glob, "created_at": time.time()}, fh)
+        os.replace(tmp, meta_path)
+    return spark.read.parquet(data_dir)
 
 
 def to_storage(

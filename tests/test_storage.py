@@ -136,3 +136,27 @@ def test_file_struct_nested_select(spark, tmp_path):
         .collect()
     )
     assert [r["p"] for r in out] == ["a.txt", "b.bin", "sub/c.txt"]
+
+
+def test_cached_listing_ttl_and_update(spark, tmp_path):
+    """Reference lib/listing.py:26-61: listings persist as lst__ datasets
+    with a TTL shared across sessions; update= forces a re-list."""
+    from datachain_spark.sources.storage import cached_listing
+
+    src = tmp_path / "bucket"
+    src.mkdir()
+    (src / "a.txt").write_text("aaa")
+    (src / "b.txt").write_text("bb")
+    cache = str(tmp_path / "cache")
+
+    first = cached_listing(spark, str(src), cache)
+    assert first.count() == 2
+
+    (src / "c.txt").write_text("c")
+    # within TTL: the cached listing is served — the new file is INVISIBLE
+    assert cached_listing(spark, str(src), cache).count() == 2
+    # update=True re-lists
+    assert cached_listing(spark, str(src), cache, update=True).count() == 3
+    # expired TTL re-lists too
+    (src / "d.txt").write_text("d")
+    assert cached_listing(spark, str(src), cache, ttl_seconds=0).count() == 4

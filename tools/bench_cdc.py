@@ -1,9 +1,19 @@
-"""Subprocess worker for bench.py: run one CDC replay at a given
-parallelism and print one JSON line {"seconds": ..., "events": ...}.
+"""Subprocess worker for bench.py: run one CDC replay level and print one
+JSON line {"seconds": ..., "events": ..., "probe_seconds": ...}.
 
-Run as: python tools/bench_cdc.py --cpus 8 --feed DIR --events N [--gen]
-A fresh process per parallelism level keeps JVM thread pools honest when
+Run as: python tools/bench_cdc.py --cpus 8 --feed DIR --events N
+        [--gen] [--runs K] [--warm-feed DIR] [--files-per-batch 16]
+
+A fresh process per parallelism LEVEL keeps JVM thread pools honest when
 comparing local[8] vs local[32] (the sandbox proxy for N vs 4N executors).
+WITHIN the level, the replay runs K+1 times in the one JVM and reports the
+best of the last K: this Firecracker host both throttles per-core speed as
+cores go busy AND swings +-50% run-to-run, and the first execution of the
+full plan at high thread counts pays a multi-second JIT/GC ramp (measured:
+identical back-to-back window jobs at local[32] go 7.7s -> 23s -> 9.8s ->
+3.8s -> 2.2s steady) — so run 0 is the intensity-matched warm-up and the
+best sustained run is the level's capability. The capacity probe runs 3x
+and reports the MEDIAN (the probe itself swings +-25% with host throttle).
 """
 
 from __future__ import annotations
@@ -12,6 +22,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -23,7 +34,7 @@ from datachain_spark.cdc.feed import FeedSpec, write_feed  # noqa: E402
 from datachain_spark.session import get_spark  # noqa: E402
 
 
-def bench_spec(n_events_target: int) -> FeedSpec:
+def bench_spec(n_events_target: int, n_batches: int = 4) -> FeedSpec:
     """Feed spec sized so total events ~= target (events ~= 1.55x keys;
     keys ~= 12.8 per conv at hot_every=1000/hot_base=2000). text_scale=25
     puts per-turn text at ~100-600 bytes — realistic transcript payloads."""
@@ -32,7 +43,7 @@ def bench_spec(n_events_target: int) -> FeedSpec:
         n_convs=n_convs,
         hot_every=1000,
         hot_base=2000,
-        batch_size=max(100_000, n_events_target // 4),
+        batch_size=max(100_000, n_events_target // n_batches),
         text_scale=25,
     )
 
@@ -43,9 +54,32 @@ def main() -> None:
     ap.add_argument("--feed", required=True)
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--gen", action="store_true", help="generate the feed first")
+    ap.add_argument("--runs", type=int, default=1, help="timed replays (best-of)")
+    ap.add_argument("--batches", type=int, default=4, help="feed batch count for --gen")
+    ap.add_argument(
+        "--files-per-batch",
+        type=int,
+        default=16,
+        help="parquet files per feed batch dir; bounds the consumer's scan "
+        "parallelism (at production scale a binlog batch is hundreds of "
+        "segment files — 64 keeps a 32-core scan stage busy)",
+    )
+    ap.add_argument(
+        "--warm-feed",
+        default=None,
+        help="smaller feed replayed once for warm-up before the timed runs "
+        "(defaults to a run-0 replay of --feed itself)",
+    )
+    ap.add_argument(
+        "--warm-upto",
+        type=int,
+        default=None,
+        help="limit the warm-up replay to batches <= N (cheap warm-up for "
+        "the low-parallelism levels, which have no JIT/GC ramp to burn off)",
+    )
     args = ap.parse_args()
 
-    spec = bench_spec(args.events)
+    spec = bench_spec(args.events, args.batches)
     # shuffle/spill on tmpfs when available: benchmarking the ENGINE, not
     # the sandbox's virtual disk (a cluster's shuffle tier is distributed)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -55,8 +89,8 @@ def main() -> None:
     # and AQE partition COALESCING disabled (it re-plans per cluster size,
     # handing the small cluster a cheaper plan and corrupting the N-vs-4N
     # ratio; measured: coalescing-on flatters local[2] by ~2x). AQE itself
-    # (skew-join) stays on. With this config the 2->8 efficiency measures
-    # 0.75-0.77 stably vs 0.40-0.50 with per-level re-planning.
+    # (skew-join) stays on. get_spark's ParallelGC default applies at every
+    # level (G1 anti-scaled the 32-thread level 2x — see session.py).
     spark = get_spark(
         cpus=args.cpus,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64")),
@@ -66,46 +100,86 @@ def main() -> None:
         },
     )
     if args.gen:
-        write_feed(spark, spec, args.feed)
+        write_feed(spark, spec, args.feed, files_per_batch=args.files_per_batch)
+        if args.runs == 0:  # generate-only invocation
+            shutil.rmtree(local_dir, ignore_errors=True)
+            print(json.dumps({"generated": args.feed}))
+            return
 
     # pure-CPU capacity probe at THIS parallelism level: chained xxhash64
     # over spark.range — zero shuffle/IO/Python. Establishes how much
     # compute the host actually grants N cores (virtualized hosts throttle
     # per-core speed as more cores go busy), so bench.py can report
     # capacity-normalized scaling efficiency alongside the raw number.
+    # Median of 3: the probe itself swings with the throttle.
     from pyspark.sql import functions as F
 
     expr = F.max(F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64("id"))))))
     spark.range(10**6).select(expr).collect()  # JIT warm-up
-    t0 = time.monotonic()
-    spark.range(2 * 10**9, numPartitions=8 * args.cpus).select(expr).collect()
-    probe_seconds = time.monotonic() - t0
+    probes = []
+    cap_ratios = []
+    # ~4-10s probe windows at >=8 cores (short windows alias the throttle
+    # oscillation); below the knee per-core grant is stable and one long
+    # ~30s window self-averages. More probes run interleaved between the
+    # timed replays below so the median samples the same throttle regime
+    # the replays saw.
+    probe_rows = 4 * 10**9 if args.cpus >= 8 else 2 * 10**9
+
+    def _probe_once(rows: int, n_tasks: int) -> float:
+        t0 = time.monotonic()
+        spark.range(rows, numPartitions=n_tasks).select(expr).collect()
+        return time.monotonic() - t0
+
+    def run_probe() -> None:
+        probes.append(
+            _probe_once(probe_rows, 8 * args.cpus) * (2 * 10**9 / probe_rows)
+        )
+        if args.cpus >= 32:
+            # SAME-JVM capacity-ratio sample for the 8->32 pair: run the
+            # probe with only 8 concurrent tasks (8 busy cores) vs all 32,
+            # seconds apart in the same throttle window. Cross-process
+            # probe ratios mix different throttle regimes minutes apart and
+            # swing 2.2-2.9 on identical hardware; this paired measurement
+            # is the defensible denominator.
+            t8 = _probe_once(10**9, 8) / 1e9
+            t_full = _probe_once(probe_rows, 8 * args.cpus) / probe_rows
+            cap_ratios.append(t8 / t_full)
+
+    for _ in range(2 if args.cpus >= 8 else 1):
+        run_probe()
 
     n_events = spark.read.parquet(os.path.join(args.feed, "v*", "batch=*")).count()
 
-    # warm-up: run the first two batches into a throwaway table so JIT,
-    # codegen caches, and Python UDF workers are hot before the timed
-    # window (sustained throughput is the metric, not cold-start)
+    # warm-up at full intensity: JIT, codegen caches, GC sizing, and Python
+    # UDF workers all need the real plan hot before the timed window
+    # (sustained throughput is the metric, not cold-start)
+    warm_src = args.warm_feed or args.feed
     warm_root = tempfile.mkdtemp(prefix=f"bench_warm_{args.cpus}_", dir=scratch)
-    replay_feed_dir(spark, warm_root, args.feed, num_buckets=64, upto_batch=0)
+    replay_feed_dir(spark, warm_root, warm_src, num_buckets=64, upto_batch=args.warm_upto)
     shutil.rmtree(warm_root, ignore_errors=True)
 
-    table_root = tempfile.mkdtemp(prefix=f"bench_cdc_{args.cpus}_", dir=scratch)
-    t0 = time.monotonic()
-    replay_feed_dir(spark, table_root, args.feed, num_buckets=64)
-    dt = time.monotonic() - t0
-    shutil.rmtree(table_root, ignore_errors=True)
+    times = []
+    for _ in range(max(1, args.runs)):
+        table_root = tempfile.mkdtemp(prefix=f"bench_cdc_{args.cpus}_", dir=scratch)
+        t0 = time.monotonic()
+        replay_feed_dir(spark, table_root, args.feed, num_buckets=64)
+        times.append(time.monotonic() - t0)
+        shutil.rmtree(table_root, ignore_errors=True)
+        if args.cpus >= 8:
+            run_probe()  # sample capacity in the replays' throttle regime
     shutil.rmtree(local_dir, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "seconds": dt,
-                "events": n_events,
-                "cpus": args.cpus,
-                "probe_seconds": probe_seconds,
-            }
-        )
-    )
+    out = {
+        "seconds": min(times),
+        "all_seconds": [round(t, 2) for t in times],
+        "events": n_events,
+        "cpus": args.cpus,
+        "probe_seconds": statistics.median(probes),
+        "probe_all": [round(p, 2) for p in probes],
+    }
+    if cap_ratios:
+        out["capacity_ratio_8_to_n"] = round(statistics.median(cap_ratios), 3)
+        out["capacity_ratio_all"] = [round(c, 3) for c in cap_ratios]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
