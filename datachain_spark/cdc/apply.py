@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datachain_spark.cdc.normalize import normalize_text_udf
+from datachain_spark.cdc.normalize import normalize_text_expr, normalize_text_udf
 from datachain_spark.lake.table import DELETED_COL, LSN_COL, LakeTable
 
 KEY_COLS = ["conv_id", "turn_idx"]
@@ -172,7 +172,7 @@ def apply_batch(
     batch_id: int,
     files_per_bucket: int = 1,
     max_segments: int = 8,
-    normalize: bool = True,
+    normalize: bool | str = True,
     lsn_ordered: bool = False,
 ) -> dict[str, Any]:
     """Apply one microbatch. Returns lineage metrics (also committed into
@@ -228,8 +228,16 @@ def apply_batch(
     # slower (pandas object-dtype sorts).
     w = Window.partitionBy(*KEY_COLS).orderBy(F.col("lsn").desc())
     dedup = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # normalize=True/'expr': whitespace canonicalization fused into the
+    # post-dedup projection as a codegen expression (zero Python in the hot
+    # path; value-identical to normalize_text on the ASCII transcript feed
+    # contract). normalize='arrow': the vectorized pandas-UDF path with
+    # full unicode NFC, for non-NFC inputs / custom normalizers.
     if normalize and "text" in dedup.columns:
-        dedup = dedup.withColumn("text", normalize_text_udf(F.col("text")))
+        if normalize == "arrow":
+            dedup = dedup.withColumn("text", normalize_text_udf(F.col("text")))
+        else:
+            dedup = dedup.withColumn("text", normalize_text_expr(F.col("text")))
 
     # ---- merge-on-read segment: after-images + delete tombstones ----
     # target columns absent from this batch (e.g. a replayed pre-evolution

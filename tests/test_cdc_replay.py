@@ -209,3 +209,25 @@ def test_crash_between_write_and_commit(spark, feed_dir, oracle_rows, tmp_path):
     table, m2 = replay_feed_dir(spark, root, feed_dir, num_buckets=8)
     assert os.path.getmtime(os.path.join(seg_dir, "_SUCCESS")) == mtime
     assert final_state(spark, table) == oracle_rows
+
+
+def test_normalize_expr_equals_arrow_on_ascii(spark):
+    """The codegen normalizer (default) and the Arrow NFC path agree on
+    the transcript feed contract (ASCII text); the expr path keeps Python
+    out of the hot loop entirely."""
+    from pyspark.sql import functions as F
+
+    from datachain_spark.cdc.normalize import (
+        normalize_text,
+        normalize_text_expr,
+        normalize_text_udf,
+    )
+
+    texts = ["  a   b\tc  ", "x\n\ny", "", "single", "  lead", "trail  ", None]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        normalize_text_expr(F.col("t")).alias("e"),
+        normalize_text_udf(F.col("t")).alias("a"),
+    ).collect()
+    for t, r in zip(texts, out):
+        assert r["e"] == r["a"] == normalize_text(t)

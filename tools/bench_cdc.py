@@ -77,6 +77,13 @@ def main() -> None:
         help="limit the warm-up replay to batches <= N (cheap warm-up for "
         "the low-parallelism levels, which have no JIT/GC ramp to burn off)",
     )
+    ap.add_argument(
+        "--probe-only",
+        action="store_true",
+        help="run ONLY the capacity probe and exit (fresh tiny JVM; used "
+        "back-to-back at two levels so both probes sample the same "
+        "minutes-scale host-throttle regime)",
+    )
     args = ap.parse_args()
 
     spec = bench_spec(args.events, args.batches)
@@ -118,11 +125,12 @@ def main() -> None:
     spark.range(10**6).select(expr).collect()  # JIT warm-up
     probes = []
     cap_ratios = []
-    # ~4-10s probe windows at >=8 cores (short windows alias the throttle
-    # oscillation); below the knee per-core grant is stable and one long
-    # ~30s window self-averages. More probes run interleaved between the
-    # timed replays below so the median samples the same throttle regime
-    # the replays saw.
+    # Probes run BEFORE the warm-up/replays only: measured on this host,
+    # a probe taken after heavy replay work in a small-heap JVM reads up
+    # to 40% slower than the same probe pre-replay (aged-heap GC state
+    # pollutes the pure-CPU measurement), which silently inflates the
+    # capacity denominator of the level that replays longest. Pre-replay,
+    # fresh-JVM probes are comparable across levels.
     probe_rows = 4 * 10**9 if args.cpus >= 8 else 2 * 10**9
 
     def _probe_once(rows: int, n_tasks: int) -> float:
@@ -145,8 +153,20 @@ def main() -> None:
             t_full = _probe_once(probe_rows, 8 * args.cpus) / probe_rows
             cap_ratios.append(t8 / t_full)
 
-    for _ in range(2 if args.cpus >= 8 else 1):
+    for _ in range(3 if args.cpus >= 8 else 1):
         run_probe()
+
+    if args.probe_only:
+        out = {
+            "cpus": args.cpus,
+            "probe_seconds": statistics.median(probes),
+            "probe_all": [round(p, 2) for p in probes],
+        }
+        if cap_ratios:
+            out["capacity_ratio_8_to_n"] = round(statistics.median(cap_ratios), 3)
+        shutil.rmtree(local_dir, ignore_errors=True)
+        print(json.dumps(out))
+        return
 
     n_events = spark.read.parquet(os.path.join(args.feed, "v*", "batch=*")).count()
 
@@ -165,8 +185,6 @@ def main() -> None:
         replay_feed_dir(spark, table_root, args.feed, num_buckets=64)
         times.append(time.monotonic() - t0)
         shutil.rmtree(table_root, ignore_errors=True)
-        if args.cpus >= 8:
-            run_probe()  # sample capacity in the replays' throttle regime
     shutil.rmtree(local_dir, ignore_errors=True)
     out = {
         "seconds": min(times),
