@@ -141,17 +141,49 @@ def main() -> None:
                 levels[n] = small(n, 1)
 
         # the mandated 8->32 pair on the big feed: fresh JVM per level,
-        # run-0 full replay as the intensity-matched warm-up, best of
-        # BIG_RUNS timed replays, 64 files/batch, memory scaled per level
+        # full-replay warm-up, BIG_RUNS timed replays — run in LOCKSTEP
+        # (the two processes alternate turns, so each (t8_i, t32_i) ratio
+        # sample comes from one adjacent ~1-minute window; sequential
+        # levels sit minutes apart in different host-throttle regimes and
+        # their ratio is then dominated by the host, not the engine)
         run_cdc_level(
             CPUS, big_dir, "--runs", "0", "--batches", "2",
             "--files-per-batch", "64", events=BIG_EVENTS, gen=True,
         )
-        big: dict[int, dict] = {}
-        for n in (CPUS, HIGH_CPUS):
-            big[n] = run_cdc_level(
-                n, big_dir, "--runs", str(BIG_RUNS), events=BIG_EVENTS
+        lockstep = tempfile.mkdtemp(prefix="bench_lockstep_", dir=scratch)
+
+        def launch(cpus: int, role: str) -> subprocess.Popen:
+            cmd = [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_cdc.py"
+                ),
+                "--cpus", str(cpus), "--feed", big_dir,
+                "--events", str(BIG_EVENTS), "--runs", str(BIG_RUNS),
+                "--lockstep", lockstep, "--role", role,
+            ]
+            env = dict(os.environ, SPARK_DRIVER_MEM=_mem_for(cpus))
+            return subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env
             )
+
+        pa, pb = launch(HIGH_CPUS, "a"), launch(CPUS, "b")
+        try:
+            out_a, _ = pa.communicate(timeout=2100)
+            out_b, _ = pb.communicate(timeout=300)
+            big = {
+                HIGH_CPUS: json.loads(out_a.strip().splitlines()[-1]),
+                CPUS: json.loads(out_b.strip().splitlines()[-1]),
+            }
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
+            for p in (pa, pb):
+                p.kill()
+            # degraded fallback: sequential levels (regime pairing lost,
+            # but the bench still reports the mandated pair)
+            big = {
+                n: run_cdc_level(n, big_dir, "--runs", "2", events=BIG_EVENTS)
+                for n in (CPUS, HIGH_CPUS)
+            }
 
         def tput(lv: dict[int, dict], n: int) -> float:
             return lv[n]["events"] / lv[n]["seconds"]
@@ -171,10 +203,24 @@ def main() -> None:
                 d["burst_capacity_ratio_same_jvm"] = lv[b]["capacity_ratio_8_to_n"]
             return d
 
+        mandated = pair(big, HIGH_CPUS, CPUS, f"{BIG_EVENTS:.0e} events, mandated pair")
+        # per-turn pairing: ratio of each lockstep turn's adjacent runs —
+        # the regime-controlled estimator; the median is the headline
+        ta, tb = big[HIGH_CPUS]["all_seconds"], big[CPUS]["all_seconds"]
+        turns = [round(x / y, 3) for x, y in zip(ta, tb)]
+        if turns:
+            import statistics as _st
+
+            med = _st.median(turns)
+            mandated["per_turn_speedups"] = turns
+            mandated["efficiency_raw_per_turn_median"] = round(med / (CPUS / HIGH_CPUS), 3)
+            mandated["efficiency_capacity_normalized_per_turn"] = round(
+                med / mandated["host_capacity_ratio"], 3
+            )
         pairs = [
             pair(levels, 1, 4, f"{BENCH_EVENTS:.0e} events"),
             pair(levels, LOW_CPUS, HIGH_CPUS, f"{BENCH_EVENTS:.0e} events"),
-            pair(big, HIGH_CPUS, CPUS, f"{BIG_EVENTS:.0e} events, mandated pair"),
+            mandated,
         ]
         # headline value: sustained throughput at the production-
         # representative batch size, default level
@@ -187,7 +233,10 @@ def main() -> None:
             "pairs": pairs,
             "efficiency_raw": pairs[0]["efficiency_raw"],
             "pair": pairs[0]["pair"],
-            "mandated_pair_normalized": pairs[2]["efficiency_capacity_normalized"],
+            "mandated_pair_normalized": pairs[2].get(
+                "efficiency_capacity_normalized_per_turn",
+                pairs[2]["efficiency_capacity_normalized"],
+            ),
             "criterion": ">=0.8 raw on the primary (unthrottled) N->4N pair; the "
             "8->32 pair reported raw + probe-capacity-normalized (the host "
             "grants 32 busy cores only ~2.2x the compute of 8, capping raw at "

@@ -65,6 +65,24 @@ def _model_cell(v: Any) -> Any:
     return v
 
 
+def _cell_value(cell: dict, name: str, names: Sequence[str]):
+    """UDF dict-output validation + default fill (reference lib/udf.py:
+    pydantic construction fills declared defaults and raises on fully
+    mismatched output). Missing declared signals fill as NULL — model
+    defaults were already applied at dataclass/NamedTuple construction —
+    but a non-empty dict sharing NO keys with the declared output is a
+    wiring error (typo'd names) and raises with the two key sets, instead
+    of silently storing an all-null row."""
+    if name in cell:
+        return cell[name]
+    if cell and not any(n in cell for n in names):
+        raise ValueError(
+            f"UDF output dict keys {sorted(cell)} match none of the declared "
+            f"output columns {list(names)}"
+        )
+    return None
+
+
 class DeltaDisabledError(RuntimeError):
     """Raised for order/set-sensitive operators on a delta-enabled chain —
     incremental recompute over a diff is incorrect through aggregations,
@@ -391,14 +409,22 @@ class Chain:
 
             names = [f.name for f in out_fields]
 
-            def row_adapter(proc, row, _expand=expand, _names=tuple(names)):
+            _struct_single = len(out_fields) == 1 and isinstance(
+                out_fields[0].dataType, T.StructType
+            )
+
+            def row_adapter(
+                proc, row, _expand=expand, _names=tuple(names), _struct_out=_struct_single
+            ):
                 cell = _model_cell(proc(*row))
                 if _expand:
                     return [
-                        tuple(cell[n] for n in _names)
+                        tuple(_cell_value(cell, n, _names) for n in _names)
                         if isinstance(cell, dict)
                         else tuple(cell)
                     ]
+                if isinstance(cell, dict) and not _struct_out:
+                    return [(_cell_value(cell, _names[0], _names),)]
                 return [(cell,)]
 
             return self._evolve(
@@ -421,12 +447,27 @@ class Chain:
                     res = [proc(*row) for row in pdf[use].itertuples(index=False, name=None)]
                     if expand:
                         cells = [_model_cell(r) for r in res]
+                        names = [f.name for f in out_fields]
                         for i, f in enumerate(out_fields):
                             pdf[f.name] = [
-                                c[f.name] if isinstance(c, dict) else c[i] for c in cells
+                                _cell_value(c, f.name, names)
+                                if isinstance(c, dict)
+                                else c[i]
+                                for c in cells
                             ]
                     else:
-                        pdf[out_fields[0].name] = [_model_cell(r) for r in res]
+                        f0 = out_fields[0]
+                        # a dict cell is the VALUE only for a struct-typed
+                        # single output; for a scalar output it's a named-
+                        # signal mapping -> extract/validate by name
+                        take_dict = isinstance(f0.dataType, T.StructType)
+                        cells = [_model_cell(r) for r in res]
+                        pdf[f0.name] = [
+                            c
+                            if take_dict or not isinstance(c, dict)
+                            else _cell_value(c, f0.name, (f0.name,))
+                            for c in cells
+                        ]
                     yield pdf
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
@@ -479,7 +520,7 @@ class Chain:
             for item in proc(*row):
                 cell = _model_cell(item)
                 if isinstance(cell, dict):
-                    rows.append(tuple(cell[n] for n in _names))
+                    rows.append(tuple(_cell_value(cell, n, _names) for n in _names))
                 elif isinstance(cell, tuple):
                     rows.append(cell)
                 elif len(_names) == 1:

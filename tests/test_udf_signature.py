@@ -187,3 +187,54 @@ def test_delta_guard_refuses_unsafe_ops(ch):
         d2.distinct()
     # explicit override
     assert ch.as_delta(delta_unsafe=True).distinct("name").count() == 3
+
+
+def test_udf_dict_output_default_fill_and_mismatch(spark):
+    """Reference-style output validation (lib/udf.py pydantic construction):
+    missing declared signals fill as NULL; a dict sharing NO keys with the
+    declared output raises instead of storing an all-null row."""
+    import pytest as _p
+
+    from datachain_spark import chain as dc
+
+    ch = dc.read_values(spark, id=[1, 2])
+
+    def partial(id):
+        # 'b' missing on purpose -> default-filled NULL
+        return {"a": id * 10, "b": None} if id == 1 else {"a": id * 10}
+
+    rows = {
+        r["id"]: (r["a"], r["b"])
+        for r in ch.map(partial, output={"a": int, "b": int}, params=["id"]).df.collect()
+    }
+    assert rows == {1: (10, None), 2: (20, None)}
+
+    def typo(id):
+        return {"aa": 1, "bb": 2}  # no declared key present
+
+    with _p.raises(Exception, match="match none of the declared"):
+        ch.map(typo, output={"a": int, "b": int}, params=["id"]).df.collect()
+
+
+def test_udf_single_scalar_output_dict_handling(spark):
+    """Single scalar output column: a dict return is a named-signal
+    mapping (extract by name, raise on mismatch); a struct-typed single
+    output still takes dict cells as the value."""
+    import dataclasses
+
+    import pytest as _p
+
+    from datachain_spark import chain as dc
+
+    ch = dc.read_values(spark, id=[1, 2])
+    out = ch.map(lambda id: {"a": id * 5}, output={"a": int}, params=["id"])
+    assert sorted(out.to_values("a")) == [5, 10]
+    with _p.raises(Exception, match="match none of the declared"):
+        ch.map(lambda id: {"zz": 1}, output={"a": int}, params=["id"]).df.collect()
+
+    @dataclasses.dataclass
+    class M:
+        x: int
+
+    got = ch.map(lambda id: M(id), output={"m": M}, params=["id"]).df.collect()
+    assert sorted(r["m"]["x"] for r in got) == [1, 2]

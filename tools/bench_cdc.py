@@ -84,6 +84,16 @@ def main() -> None:
         "back-to-back at two levels so both probes sample the same "
         "minutes-scale host-throttle regime)",
     )
+    ap.add_argument(
+        "--lockstep",
+        default=None,
+        help="directory for turn-taking coordination: two bench_cdc "
+        "processes (roles a and b) alternate timed replays so each "
+        "(a_i, b_i) ratio sample comes from one adjacent time window — "
+        "the host's minutes-scale throttle drift otherwise lands the two "
+        "levels in different regimes and corrupts the N-vs-4N ratio",
+    )
+    ap.add_argument("--role", choices=["a", "b"], default=None)
     args = ap.parse_args()
 
     spec = bench_spec(args.events, args.batches)
@@ -153,6 +163,16 @@ def main() -> None:
             t_full = _probe_once(probe_rows, 8 * args.cpus) / probe_rows
             cap_ratios.append(t8 / t_full)
 
+    if args.lockstep and args.role == "b":
+        # serialize the whole pre-phase: b probes/warms only after a has
+        # probed AND warmed (concurrent heavy phases would contend for
+        # every core and corrupt both sides' measurements)
+        deadline = time.monotonic() + 900
+        while not os.path.exists(os.path.join(args.lockstep, "warm_a")):
+            if time.monotonic() > deadline:
+                break
+            time.sleep(0.3)
+
     for _ in range(3 if args.cpus >= 8 else 1):
         run_probe()
 
@@ -173,18 +193,42 @@ def main() -> None:
     # warm-up at full intensity: JIT, codegen caches, GC sizing, and Python
     # UDF workers all need the real plan hot before the timed window
     # (sustained throughput is the metric, not cold-start)
+    def _wait_for(path: str, timeout_s: float = 900.0) -> None:
+        deadline = time.monotonic() + timeout_s
+        while not os.path.exists(path):
+            if time.monotonic() > deadline:
+                return  # degrade to solo timing rather than hang forever
+            time.sleep(0.3)
+
+    def _mark(name: str) -> None:
+        with open(os.path.join(args.lockstep, name), "w") as fh:
+            fh.write("1")
+
     warm_src = args.warm_feed or args.feed
     warm_root = tempfile.mkdtemp(prefix=f"bench_warm_{args.cpus}_", dir=scratch)
     replay_feed_dir(spark, warm_root, warm_src, num_buckets=64, upto_batch=args.warm_upto)
     shutil.rmtree(warm_root, ignore_errors=True)
+    if args.lockstep:
+        _mark(f"warm_{args.role}")
 
     times = []
-    for _ in range(max(1, args.runs)):
+    for i in range(max(1, args.runs)):
+        if args.lockstep:
+            # strict alternation: a runs turn i after b's turn i-1 (or b's
+            # warm-up for turn 0); b runs turn i after a's turn i
+            gate = (
+                os.path.join(args.lockstep, "warm_b" if i == 0 else f"done_b_{i - 1}")
+                if args.role == "a"
+                else os.path.join(args.lockstep, f"done_a_{i}")
+            )
+            _wait_for(gate)
         table_root = tempfile.mkdtemp(prefix=f"bench_cdc_{args.cpus}_", dir=scratch)
         t0 = time.monotonic()
         replay_feed_dir(spark, table_root, args.feed, num_buckets=64)
         times.append(time.monotonic() - t0)
         shutil.rmtree(table_root, ignore_errors=True)
+        if args.lockstep:
+            _mark(f"done_{args.role}_{i}")
     shutil.rmtree(local_dir, ignore_errors=True)
     out = {
         "seconds": min(times),

@@ -26,6 +26,10 @@ HEADLINE = [
     # r2 additions (additive keys — r1 keys unchanged for cross-round diff)
     "nested_struct_project",
     "running_window_frame",
+    # r3 additions
+    "ngram_jaccard_near_dups",
+    "lsh_topk_ann",
+    "ivf_topk_kmeans",
 ]
 
 
