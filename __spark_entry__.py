@@ -437,6 +437,52 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with PLANTED deterministic PII (the
+    synthetic corpus has none): each doc gets an email, an IPv4, and an
+    international phone derived from doc_id; scrub_pii must redact all
+    three. Oracle recomputes the same augmentation + the same regex chain
+    (patterns chosen to behave identically under Java regex and RE2)."""
+    from datachain_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact u%d@ex%d.com at 10.0.%d.%d or +1415555%04d",
+                F.col("doc_id"),
+                F.pmod(F.col("doc_id"), F.lit(7)),
+                F.pmod(F.col("doc_id"), F.lit(256)),
+                F.pmod(F.col("doc_id"), F.lit(100)),
+                F.pmod(F.col("doc_id"), F.lit(10000)),
+            ),
+        ),
+    )
+    return scrub_pii(planted).select("doc_id", "text").orderBy("doc_id")
+
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the canonical 13-gram rule of LM data
+    curation: corpus docs sharing any distinct 13-gram shingle with the
+    benchmark slice are marked with their shared-shingle count (the
+    even/odd doc split crosses the corpus's planted near-dup pairs, so
+    real contamination exists: 11 of 250 docs at sf0.01). Oracle
+    recomputes the same shingle sets and overlap counts brute-force."""
+    from datachain_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # even/odd split: the synthetic corpus's planted near-dup pairs cross
+    # parity, so the benchmark slice really contaminates the corpus slice
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    out = decontaminate(corpus, bench, n=13, min_shared=1, mark_only=True)
+    return out.select(
+        "doc_id", "contaminated", F.col("n_shared").cast("long").alias("n_shared")
+    ).orderBy("doc_id")
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -727,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "lsh_topk_ann": lsh_topk_ann,
         "ivf_topk_kmeans": ivf_topk_kmeans,
+        "pii_scrub": pii_scrub,
+        "decontaminate_corpus": decontaminate_corpus,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
@@ -873,6 +921,66 @@ def _simhash_oracle_sql() -> str:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Same planted augmentation + the same regex chain; 'g' flag for
+    global replacement (Spark regexp_replace is global by default)."""
+    return """
+        WITH planted AS (
+          SELECT doc_id,
+                 text || printf(' contact u%d@ex%d.com at 10.0.%d.%d or +1415555%04d',
+                                doc_id, doc_id % 7, doc_id % 256, doc_id % 100,
+                                doc_id % 10000) AS text
+          FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                 '\\+\\d{7,15}\\b', '[PHONE]', 'g') AS text
+        FROM planted ORDER BY doc_id
+    """
+
+
+def _decontaminate_oracle_sql() -> str:
+    """Brute-force shingle-overlap recomputation: distinct 3-gram sets per
+    side, per-corpus-doc count of distinct shingles appearing anywhere in
+    the benchmark slice."""
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CASE WHEN len(toks) >= 13
+                 THEN list_distinct(list_transform(range(1, len(toks) - 11),
+                                    i -> array_to_string(toks[i:i+12], ' ')))
+                 ELSE [] END AS g
+          FROM norm
+        ),
+        corpus AS (
+          SELECT doc_id, unnest(g) AS s FROM grams
+          WHERE doc_id < 2000 AND doc_id % 2 = 0
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(g) AS s FROM grams
+          WHERE doc_id < 2000 AND doc_id % 2 = 1
+        ),
+        hits AS (
+          SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+          FROM corpus c JOIN bench b ON c.s = b.s
+          GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               h.doc_id IS NOT NULL AS contaminated,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 2000 AND doc_id % 2 = 0) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
     """
 
 
@@ -1310,6 +1418,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_near_dups": _ngram_jaccard_oracle_sql(),
         "lsh_topk_ann": _lsh_topk_oracle_sql(),
         "ivf_topk_kmeans": _ivf_topk_oracle_sql(),
+        "pii_scrub": _pii_scrub_oracle_sql(),
+        "decontaminate_corpus": _decontaminate_oracle_sql(),
         "simhash_near_dup_pairs": _simhash_oracle_sql(),
         # Full CDC-replay oracle, self-contained: the feed is pure
         # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates

@@ -68,3 +68,64 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     it for the oracle; both are JVM builtins."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): simple character classes + \b boundaries, no backtracking
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{7,15}\b", "[PHONE]"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Training-data PII scrubbing: replace emails, IPv4 addresses, and
+    international phone numbers with redaction tokens — pure codegen
+    regexp_replace chain, no Python. The pattern set is deliberately
+    conservative (high precision); extend PII_PATTERNS for domain rules.
+    The reference has no PII operator; this is training-data-pipeline
+    surface the build brief requires."""
+    out = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(out_col or text_col, out)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_shared: int = 1,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Test-set decontamination: drop (or mark) corpus documents sharing
+    >= `min_shared` distinct word n-gram shingles with ANY benchmark
+    document — the standard 13-gram overlap rule of large-LM data
+    curation. Shape: inverted-index equi-join on the shingle; the
+    benchmark side (a test set — small by nature) is broadcast, so the
+    corpus is never shuffled and the scan streams map-side at any corpus
+    size. mark_only=True returns the corpus + (contaminated, n_shared)
+    instead of filtering."""
+    from datachain_spark.operators.dedup import shingles
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    b = benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g")).distinct()
+    hits = (
+        c.join(F.broadcast(b), "g")
+        .groupBy("__cid")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    if mark_only:
+        out = corpus.join(
+            hits.withColumnRenamed("__cid", id_col), id_col, "left"
+        )
+        return out.withColumn("contaminated", F.col("n_shared").isNotNull()).withColumn(
+            "n_shared", F.coalesce(F.col("n_shared"), F.lit(0))
+        )
+    return corpus.join(hits.withColumnRenamed("__cid", id_col), id_col, "left_anti")

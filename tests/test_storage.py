@@ -160,3 +160,87 @@ def test_cached_listing_ttl_and_update(spark, tmp_path):
     # expired TTL re-lists too
     (src / "d.txt").write_text("d")
     assert cached_listing(spark, str(src), cache, ttl_seconds=0).count() == 4
+
+
+def test_read_hf_dataset_like_objects(spark):
+    """read_hf converts Dataset-like objects without the hub lib: Arrow
+    (.data) backing, to_pandas fallback, iterable-of-dicts streams, and
+    DatasetDict-of-splits with the reference's `split` column."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _p
+
+    from datachain_spark.sources.hf import read_hf
+
+    class ArrowDS:  # Dataset-like: pyarrow Table behind .data
+        features = {"a": "int64"}
+
+        def __init__(self):
+            self.data = pa.table({"a": [1, 2, 3], "t": ["x", "y", "z"]})
+
+    df = read_hf(spark, ArrowDS())
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+    assert read_hf(spark, ArrowDS(), limit=2).count() == 2
+
+    class PandasDS:
+        features = {}
+
+        def to_pandas(self):
+            return pd.DataFrame({"a": [10, 20]})
+
+    assert read_hf(spark, PandasDS()).count() == 2
+
+    class StreamDS:  # IterableDataset-like
+        features = {}
+
+        def __iter__(self):
+            for i in range(1000):
+                yield {"a": i}
+
+    assert read_hf(spark, StreamDS(), limit=5).count() == 5
+
+    # DatasetDict-like -> union of splits + split column
+    dd = {"train": ArrowDS(), "test": PandasDS()}
+    out = read_hf(spark, dd)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"train": 3, "test": 2}
+
+    with _p.raises(ImportError, match="datasets"):
+        read_hf(spark, "some/hub-path")
+
+
+def test_scrub_pii_and_decontaminate(spark):
+    from datachain_spark.operators.text import decontaminate, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk today"),
+            (2, "server 192.168.0.1 and call +14155552671 now"),
+            (3, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "server [IP] and call [PHONE] now"
+    assert got[3] == "clean text stays clean"
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence about spark engines"),
+            (3, "quick brown fox jumps over the lazy dog again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over the lazy dog run")],
+        ["doc_id", "text"],
+    )
+    clean = decontaminate(corpus, bench, n=5, min_shared=1)
+    assert sorted(clean.select("doc_id").toPandas()["doc_id"]) == [2]
+    marked = decontaminate(corpus, bench, n=5, min_shared=1, mark_only=True)
+    m = {r["doc_id"]: (r["contaminated"], r["n_shared"]) for r in marked.collect()}
+    assert m[2] == (False, 0) and m[1][0] and m[3][0] and m[1][1] >= 1
