@@ -228,11 +228,12 @@ def apply_batch(
     # slower (pandas object-dtype sorts).
     w = Window.partitionBy(*KEY_COLS).orderBy(F.col("lsn").desc())
     dedup = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    # normalize=True/'expr': whitespace canonicalization fused into the
-    # post-dedup projection as a codegen expression (zero Python in the hot
-    # path; value-identical to normalize_text on the ASCII transcript feed
-    # contract). normalize='arrow': the vectorized pandas-UDF path with
-    # full unicode NFC, for non-NFC inputs / custom normalizers.
+    # normalize=True/'expr': whitespace canonicalization (unicode-aware via
+    # the (?U) regex flag — identical collapse/strip semantics to
+    # normalize_text) fused into the post-dedup projection as a codegen
+    # expression, zero Python in the hot path. Sole divergence: no unicode
+    # NFC composition — normalize='arrow' is the vectorized pandas-UDF path
+    # WITH NFC, for feeds ingesting non-NFC-composed text.
     if normalize and "text" in dedup.columns:
         if normalize == "arrow":
             dedup = dedup.withColumn("text", normalize_text_udf(F.col("text")))

@@ -42,11 +42,18 @@ def normalize_text_udf(s: pd.Series) -> pd.Series:
 
 def normalize_text_expr(col):
     """Whole-stage-codegen normalization: whitespace collapse + trim as a
-    Catalyst expression — no Python worker in the hot path at all. On the
-    transcript feed contract (ASCII text) this is value-identical to
-    `normalize_text` (the DuckDB driver oracle computes exactly this
-    expression); it does NOT apply unicode NFC, so pipelines ingesting
-    non-NFC text should pass normalizer='arrow' to apply_batch for the
-    full pandas-UDF path. Measured: the Arrow stage was ~40% of the CDC
-    apply stage time and scaled worse across cores than codegen."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    Catalyst expression — no Python worker in the hot path at all.
+
+    The `(?U)` flag (java.util.regex UNICODE_CHARACTER_CLASS) makes Java's
+    `\\s` match unicode whitespace exactly like Python's `\\s` in
+    `normalize_text` (U+00A0, U+2028, ... collapse identically; every
+    leading/trailing run becomes a single ASCII space, which trim then
+    removes — so strip parity holds too). The ONE remaining divergence
+    from `normalize_text` is unicode NFC composition, which has no
+    Catalyst expression: text that is not already NFC-composed stores
+    byte-different (canonically-equivalent) forms under this path —
+    pass `normalize='arrow'` to apply_batch for the full pandas-UDF path
+    with NFC. Measured: the Arrow stage was ~40% of the CDC apply stage
+    time and scaled worse across cores than codegen, hence codegen is the
+    default and NFC is the opt-in."""
+    return F.trim(F.regexp_replace(col, r"(?U)\s+", " "))

@@ -400,8 +400,14 @@ class Chain:
             if output is not None
             else infer_output(fn, default_name)
         )
-        out_schema = T.StructType(list(self.df.schema.fields) + list(out_struct.fields))
         out_fields = list(out_struct.fields)
+        # an output signal named like an input column OVERWRITES it (the
+        # reference's signal replacement; pdf[name] = ... below replaces in
+        # place) — the schema must carry the name once, with the OUTPUT type
+        _out_names = {f.name for f in out_fields}
+        out_schema = T.StructType(
+            [f for f in self.df.schema.fields if f.name not in _out_names] + out_fields
+        )
         expand = len(out_fields) > 1
 
         if checkpoint is not None:
@@ -468,7 +474,10 @@ class Chain:
                             else _cell_value(c, f0.name, (f0.name,))
                             for c in cells
                         ]
-                    yield pdf
+                    # overwritten columns keep their ORIGINAL pandas position;
+                    # reorder to the declared schema (mapInPandas matches by
+                    # position, not name)
+                    yield pdf[[f.name for f in out_schema.fields]]
 
         return self._evolve(self.df.mapInPandas(run, out_schema))
 

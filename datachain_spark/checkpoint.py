@@ -29,11 +29,29 @@ columns): changing the UDF signature starts a fresh checkpoint rather
 than resuming into mismatched output (the reference hashes the UDF for
 the same reason).
 
+Key semantics: the checkpoint key IDENTIFIES A UNIT OF WORK. Input rows
+that are duplicates under the key are processed ONCE and (for map) each
+receives the single stored output — the key columns must therefore
+functionally determine the UDF's inputs (trivially true for the default
+all-columns key; an explicit `checkpoint_on` that does not is a caller
+contract violation, same as the reference's row-id keys). The key is a
+64-bit xxhash64: at multi-billion-row scale hash collisions silently
+merge two distinct work units (~6e-8 collision odds at 1e9 distinct
+keys) — pass an explicit unique-id column as `checkpoint_on` when exact
+identity matters at that scale. Both the UDF and everything upstream of
+it must be deterministic (resume re-derives keys from the source).
+
 Scale shape: the driver loop is over CHUNK JOBS, never rows; every step —
 key hashing, anti-join, UDF, commit write — is a distributed DataFrame
 op. The anti-join shuffles only key hashes (8 bytes/row); chunk selection
 is a pmod filter on the same hash, so resume cost is O(remaining), not
-O(done).
+O(done). The keyed input and the remaining set are persist()ed for the
+duration of the chunk loop, so the source is scanned once — not once per
+chunk (500 rescans of a 100M-row input at the default chunk size
+otherwise). A best-effort pid lockfile in the namespace refuses
+concurrent resumes of the same store (two resumers would run the same
+chunks twice; results would still dedupe by key, but the work and the
+commit dirs would not).
 """
 
 from __future__ import annotations
@@ -69,6 +87,66 @@ def _committed_dirs(store_ns: str) -> list[str]:
         if d.startswith("commit=")
         and os.path.exists(os.path.join(store_ns, d, "_SUCCESS"))
     )
+
+
+class CheckpointLockedError(RuntimeError):
+    """Another live process is resuming this checkpoint namespace."""
+
+
+class _NamespaceLock:
+    """Best-effort single-resumer guard: an O_EXCL pid lockfile in the
+    namespace dir. A lock owned by a DEAD pid is stale and taken over
+    (crash-safe); a live owner raises — two concurrent resumers would
+    each run the full chunk schedule (duplicate work + orphan commit
+    dirs, even though reads dedupe by key)."""
+
+    def __init__(self, ns: str):
+        self.path = os.path.join(ns, ".resume_lock")
+        self.held = False
+
+    @staticmethod
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def acquire(self) -> None:
+        for _ in range(2):  # second pass after stale-lock removal
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(str(os.getpid()))
+                self.held = True
+                return
+            except FileExistsError:
+                try:
+                    with open(self.path) as fh:
+                        owner = int(fh.read().strip() or "-1")
+                except (OSError, ValueError):
+                    owner = -1
+                if owner > 0 and self._alive(owner):
+                    raise CheckpointLockedError(
+                        f"checkpoint namespace is being resumed by live pid {owner} "
+                        f"({self.path}); concurrent resumes of one store duplicate work"
+                    ) from None
+                # stale: owner is gone — take over
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        raise CheckpointLockedError(f"could not acquire {self.path}")
+
+    def release(self) -> None:
+        if self.held:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            self.held = False
 
 
 def checkpointed_udf(
@@ -111,10 +189,17 @@ def checkpointed_udf(
         return spark.read.schema(store_schema).parquet(*dirs)
 
     done = load_store().select(KEY_COL).distinct()
-    remaining = keyed.join(done, KEY_COL, "left_anti")
-    # one small count job decides the chunking — metadata-scale driver work
+    # duplicates under the key are ONE unit of work (see module docstring):
+    # process each key once, whichever duplicate row carries it
+    remaining = keyed.join(done, KEY_COL, "left_anti").dropDuplicates([KEY_COL])
+    # persist for the chunk loop: the source is scanned ONCE, not once per
+    # chunk job (and a non-deterministic upstream can't shift keys mid-loop);
+    # the count below materializes the cache and decides the chunking
+    remaining = remaining.persist()
     n_remaining = remaining.count()
+    lock = _NamespaceLock(ns)
     if n_remaining:
+        lock.acquire()
         n_chunks = max(1, math.ceil(n_remaining / rows_per_commit))
 
         def make_runner():
@@ -141,17 +226,29 @@ def checkpointed_udf(
 
             return run
 
-        for i in range(n_chunks):
-            chunk = remaining.filter(F.pmod(F.col(KEY_COL), F.lit(n_chunks)) == i)
-            out_rows = chunk.mapInPandas(make_runner(), store_schema)
-            commit_dir = os.path.join(ns, f"commit={uuid.uuid4().hex[:12]}")
-            # parquet job commit (_SUCCESS) is the atomic checkpoint point
-            out_rows.write.mode("overwrite").parquet(commit_dir)
+        try:
+            for i in range(n_chunks):
+                chunk = remaining.filter(F.pmod(F.col(KEY_COL), F.lit(n_chunks)) == i)
+                out_rows = chunk.mapInPandas(make_runner(), store_schema)
+                commit_dir = os.path.join(ns, f"commit={uuid.uuid4().hex[:12]}")
+                # parquet job commit (_SUCCESS) is the atomic checkpoint point
+                out_rows.write.mode("overwrite").parquet(commit_dir)
+        finally:
+            lock.release()
+    remaining.unpersist()
 
     produced = load_store().filter(F.col(NOUT_COL) > 0).drop(NOUT_COL)
     # only this input's keys (the store may hold more from wider past runs)
     produced = produced.join(keyed.select(KEY_COL).distinct(), KEY_COL, "left_semi")
     if is_gen:
         return produced.drop(KEY_COL)
-    # map (1:1): reattach outputs to the full input rows
-    return keyed.join(produced, KEY_COL, "inner").drop(KEY_COL)
+    # map (1:1): ONE stored output per key — duplicate input rows under the
+    # key were processed once (above) and a fn rerun of the same key (crash
+    # replay of an uncommitted chunk) wrote identical rows, so keeping one
+    # is exact; without this, K input duplicates joining K stored copies
+    # inflated the output K^2-fold
+    produced = produced.dropDuplicates([KEY_COL])
+    # output columns overwrite same-named input columns (matching the
+    # non-checkpoint mapInPandas path, where pdf[name] = ... replaces)
+    collide = [c for c in keyed.columns if c != KEY_COL and c in set(out_names)]
+    return keyed.drop(*collide).join(produced, KEY_COL, "inner").drop(KEY_COL)

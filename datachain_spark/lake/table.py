@@ -54,7 +54,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -155,6 +157,12 @@ class LakeTable:
     def __init__(self, root: str):
         self.root = root
         self._snap_cache: dict[int, Snapshot] = {}
+        # serializes manifest commits (the compaction worker thread and the
+        # apply thread both commit); Spark job submission itself is
+        # thread-safe and stays OUTSIDE the lock
+        self._commit_lock = threading.Lock()
+        self._compact_pool: ThreadPoolExecutor | None = None
+        self._compact_future: Future | None = None
 
     # ---------- paths ----------
     def _versions_dir(self) -> str:
@@ -320,6 +328,7 @@ class LakeTable:
         self,
         append_bucket_files: dict[int, list[str]] | None = None,
         replace_bucket_files: dict[int, list[str]] | None = None,
+        compacted_from: dict[int, list[str]] | None = None,
         has_deletes: set[int] | frozenset[int] = frozenset(),
         schema: T.StructType | None = None,
         watermark_updates: dict[int, int] | None = None,
@@ -329,43 +338,60 @@ class LakeTable:
     ) -> int:
         """Commit a new version. `append_bucket_files` adds MOR segments
         (bucket turns dirty if it already had data or the segment carries
-        tombstones); `replace_bucket_files` swaps a bucket's whole segment
-        list (compaction — bucket turns clean). Untouched buckets inherit
-        the parent's files. Paths are relative to the table root."""
-        parent = self.snapshot()
-        buckets = {b: list(fl) for b, fl in parent.buckets.items()}
-        dirty = dict(parent.dirty)
-        for b, fl in (append_bucket_files or {}).items():
-            existing = buckets.setdefault(b, [])
-            if existing or b in has_deletes:
-                dirty[b] = True
-            existing.extend(fl)
-        for b, fl in (replace_bucket_files or {}).items():
-            buckets[b] = list(fl)
-            dirty[b] = False
-        watermarks = dict(parent.watermarks)
-        for b, lsn in (watermark_updates or {}).items():
-            watermarks[b] = max(lsn, watermarks.get(b, -1))
-        committed = {j: [list(r) for r in rs] for j, rs in parent.committed.items()}
-        if ledger is not None and "job_id" in ledger and "batch_id" in ledger:
-            _add_committed(committed, str(ledger["job_id"]), int(ledger["batch_id"]))
-        snap = Snapshot(
-            version=parent.version + 1,
-            parent=parent.version,
-            schema_json=json.dumps(schema.jsonValue()) if schema else parent.schema_json,
-            num_buckets=parent.num_buckets,
-            key_cols=parent.key_cols,
-            buckets=buckets,
-            watermarks=watermarks,
-            dirty=dirty,
-            tag=tag,
-            ledger=ledger,
-            committed=committed,
-            props=props or {},
-            created_at=time.time(),
-        )
-        self._write_manifest(snap)
-        return snap.version
+        tombstones); `replace_bucket_files` swaps a bucket's segment list
+        (compaction). With `compacted_from` (the exact input files the
+        compaction resolved), only THOSE files are replaced: segments
+        appended to the bucket after the compaction read survive as
+        residuals and the bucket stays dirty iff any exist — this is what
+        makes compaction safe to run CONCURRENTLY with appends (Iceberg's
+        rewrite-files validation, done set-wise here). Without it the swap
+        is whole-list (bucket turns clean). Untouched buckets inherit the
+        parent's files. Paths are relative to the table root. Commits are
+        serialized under the table's commit lock."""
+        with self._commit_lock:
+            parent = self.snapshot()
+            buckets = {b: list(fl) for b, fl in parent.buckets.items()}
+            dirty = dict(parent.dirty)
+            for b, fl in (append_bucket_files or {}).items():
+                existing = buckets.setdefault(b, [])
+                if existing or b in has_deletes:
+                    dirty[b] = True
+                existing.extend(fl)
+            for b, fl in (replace_bucket_files or {}).items():
+                if compacted_from is not None and b in compacted_from:
+                    eaten = set(compacted_from[b])
+                    residual = [p for p in buckets.get(b, []) if p not in eaten]
+                    buckets[b] = list(fl) + residual
+                    # residual segments postdate the compaction read: the
+                    # union still needs LWW resolution (and may carry
+                    # tombstones against compacted rows)
+                    dirty[b] = bool(residual)
+                else:
+                    buckets[b] = list(fl)
+                    dirty[b] = False
+            watermarks = dict(parent.watermarks)
+            for b, lsn in (watermark_updates or {}).items():
+                watermarks[b] = max(lsn, watermarks.get(b, -1))
+            committed = {j: [list(r) for r in rs] for j, rs in parent.committed.items()}
+            if ledger is not None and "job_id" in ledger and "batch_id" in ledger:
+                _add_committed(committed, str(ledger["job_id"]), int(ledger["batch_id"]))
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                schema_json=json.dumps(schema.jsonValue()) if schema else parent.schema_json,
+                num_buckets=parent.num_buckets,
+                key_cols=parent.key_cols,
+                buckets=buckets,
+                watermarks=watermarks,
+                dirty=dirty,
+                tag=tag,
+                ledger=ledger,
+                committed=committed,
+                props=props or {},
+                created_at=time.time(),
+            )
+            self._write_manifest(snap)
+            return snap.version
 
     def tag_version(self, tag: str, version: int | None = None) -> int:
         """Create a tagged (semver) alias version — a metadata-only commit,

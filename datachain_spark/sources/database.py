@@ -138,7 +138,13 @@ def to_database(
     row-wise."""
 
     def write(target: str, m: str) -> None:
-        w = df.write.format("jdbc").option("url", url).option("dbtable", target).mode(m)
+        # the QUOTED identifier goes to the JDBC writer too: an unquoted
+        # name is case-folded by the database (up in Derby, down in
+        # Postgres), after which the exact-case quoted MERGE/DROP below
+        # would not resolve — quoting both paths keeps create/merge/drop
+        # in one consistent case. For PRE-EXISTING tables created outside
+        # this module, pass the name in the database's canonical case.
+        w = df.write.format("jdbc").option("url", url).option("dbtable", _q(target)).mode(m)
         if driver:
             w = w.option("driver", driver)
         w.options(**props).save()
@@ -151,12 +157,11 @@ def to_database(
         write(table, "errorifexists")
         return
     # uuid staging name: unique under concurrent upserts to the same table
-    # (Python's salted hash() collided), dropped in the finally below
+    # (Python's salted hash() collided); written QUOTED (see write()) so the
+    # exact-case MERGE/DROP references resolve regardless of the target
+    # name's case, and dropped in the finally below
     import uuid
 
-    # upper-case suffix: Spark's JDBC writer emits the name unquoted, so
-    # Derby/ANSI databases fold it to upper case — the quoted MERGE/DROP
-    # references below must match exactly
     stage = f"{table}_STAGE_{uuid.uuid4().hex[:12].upper()}"
     write(stage, "overwrite")
     keys = list(on_conflict)
