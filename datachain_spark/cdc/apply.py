@@ -174,12 +174,19 @@ def apply_batch(
     max_segments: int = 8,
     normalize: bool | str = True,
     lsn_ordered: bool = False,
+    compaction: str = "inline",
 ) -> dict[str, Any]:
     """Apply one microbatch. Returns lineage metrics (also committed into
     the snapshot ledger). Idempotent: replaying any committed batch is an
     O(1) no-op; redelivered individual events are appended and absorbed by
     LWW-by-lsn at read (or dropped pre-write when `lsn_ordered=True` — see
-    module docstring for the delivery-order contract)."""
+    module docstring for the delivery-order contract).
+
+    compaction='inline' runs the amortized MOR compaction pass before
+    returning; 'async' hands it to the table's background worker so its
+    job-submission gaps overlap the next batch (call
+    table.drain_compaction() when the feed drains); 'off' skips it
+    (caller compacts on its own schedule)."""
     if table.batch_committed(job_id, batch_id):
         return {"batch_id": batch_id, "skipped": "ledger"}
 
@@ -335,13 +342,26 @@ def apply_batch(
     )
     # amortized MOR compaction: staggered — at most a quarter of the
     # buckets per apply, worst (most segments) first, so the compaction tax
-    # per batch is bounded and smooth instead of a periodic full rewrite
-    compacted = table.compact(
-        spark,
-        max_segments=max_segments,
-        files_per_bucket=files_per_bucket,
-        max_buckets=max(1, table.num_buckets // 4),
-    )
+    # per batch is bounded and smooth instead of a periodic full rewrite;
+    # 'async' overlaps it with the next batch (commit-lock + compacted_from
+    # residuals make that safe — lake/table.py compact_async)
+    compacted: int | bool | None
+    if compaction == "async":
+        compacted = table.compact_async(
+            spark,
+            max_segments=max_segments,
+            files_per_bucket=files_per_bucket,
+            max_buckets=max(1, table.num_buckets // 4),
+        )
+    elif compaction == "off":
+        compacted = None
+    else:
+        compacted = table.compact(
+            spark,
+            max_segments=max_segments,
+            files_per_bucket=files_per_bucket,
+            max_buckets=max(1, table.num_buckets // 4),
+        )
     return {
         "batch_id": batch_id,
         "version": version,
@@ -350,7 +370,8 @@ def apply_batch(
         "rows_deleted": rows_deleted,
         "buckets_touched": len(touched),
         "evolved": [f.name for f in new_fields],
-        "compacted_version": compacted,
+        "compacted_version": None if compaction != "inline" else compacted,
+        **({"compaction_submitted": bool(compacted)} if compaction == "async" else {}),
     }
 
 
@@ -363,12 +384,15 @@ def replay_feed_dir(
     upto_batch: int | None = None,
     normalize: bool = True,
     max_segments: int = 8,
+    compaction: str = "async",
 ) -> tuple[LakeTable, list[dict[str, Any]]]:
     """Batch-mode replay of a write_feed output directory, in lsn order.
     Resumable: re-running over a partially-applied table skips committed
     batches via the ledger and stale events via the watermarks. Each
     microbatch is a WHOLE feed-batch directory, so per-bucket LSN spans
-    arrive in non-decreasing order and `lsn_ordered=True` is sound."""
+    arrive in non-decreasing order and `lsn_ordered=True` is sound.
+    Compaction defaults to 'async' (overlapped with the next batch) and is
+    drained before returning, so the returned table is quiescent."""
     from datachain_spark.cdc.feed import feed_batch_dirs
 
     if LakeTable.exists(table_root):
@@ -398,6 +422,8 @@ def replay_feed_dir(
                 normalize=normalize,
                 lsn_ordered=True,
                 max_segments=max_segments,
+                compaction=compaction,
             )
         )
+    table.drain_compaction()
     return table, metrics

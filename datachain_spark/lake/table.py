@@ -456,7 +456,55 @@ class LakeTable:
                 for f in os.listdir(bdir)
                 if f.endswith(".parquet")
             )
-        return self.commit(replace_bucket_files=replace, props={"compaction": True})
+        # compacted_from = the exact input files this pass resolved: a
+        # commit that lands between our snapshot read and this commit may
+        # have appended NEW segments to `todo` buckets — those survive as
+        # residuals and the bucket stays dirty (concurrent-append safety)
+        return self.commit(
+            replace_bucket_files=replace,
+            compacted_from={b: list(snap.buckets[b]) for b in todo},
+            props={"compaction": True},
+        )
+
+    def compact_async(
+        self,
+        spark: SparkSession,
+        max_segments: int = 8,
+        files_per_bucket: int = 1,
+        max_buckets: int | None = None,
+    ) -> bool:
+        """Submit one compact() pass to the table's background worker and
+        return immediately — the batch-apply loop stops paying the
+        compaction jobs' driver submission gaps inside its measured window
+        (they overlap the NEXT batch's scan/shuffle stages instead; at 32
+        cores those gaps were a visible share of the residual per-batch
+        serial cost). Safe because commit() is lock-serialized and the
+        compaction commit replaces only its `compacted_from` inputs.
+
+        One pass in flight at a time: if the previous pass is still
+        running, this call is a no-op returning False (compaction is
+        amortized — skipping a turn just leaves the work for the next
+        call). A finished pass's error is re-raised here or in
+        drain_compaction()."""
+        if self._compact_future is not None:
+            if not self._compact_future.done():
+                return False
+            self._compact_future.result()  # surface any error
+        if self._compact_pool is None:
+            self._compact_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"compact-{os.path.basename(self.root)}"
+            )
+        self._compact_future = self._compact_pool.submit(
+            self.compact, spark, max_segments, files_per_bucket, max_buckets
+        )
+        return True
+
+    def drain_compaction(self) -> int | None:
+        """Wait for the in-flight async compaction (if any); returns its
+        committed version (None if none ran/needed). Call at end-of-replay
+        or before shutdown."""
+        fut, self._compact_future = self._compact_future, None
+        return fut.result() if fut is not None else None
 
     # ---------- exactly-once ledger ----------
     def batch_committed(self, job_id: str, batch_id: int) -> bool:

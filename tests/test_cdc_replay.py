@@ -144,7 +144,8 @@ def test_forced_compaction_across_schema_evolution(spark, feed_dir, oracle_rows,
     must null-fill the evolved column (union-by-name read) and the final
     state must still equal the oracle exactly."""
     table, metrics = replay_feed_dir(
-        spark, str(tmp_path / "t"), feed_dir, num_buckets=8, max_segments=1
+        spark, str(tmp_path / "t"), feed_dir, num_buckets=8, max_segments=1,
+        compaction="inline",
     )
     assert any(m.get("compacted_version") for m in metrics if "version" in m)
     assert any(m.get("evolved") for m in metrics if "version" in m)
