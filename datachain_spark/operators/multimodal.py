@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as binary columns with REAL codecs.
 
 Images are decoded as real BMP (24-bit BI_RGB header + padded pixel rows,
-parsed with stdlib struct) and audio as real WAV (stdlib `wave`), so
-`decode_media` extracts true width/height/duration/amplitude stats and a
-real 64-bit average-hash (8x8 luminance grid) from actual encoded bytes —
-no NotImplementedError on the image/audio paths. The `decoder=` hooks stay
-for production formats (JPEG/PNG via PIL, MP3 via ffmpeg — not in this
-container); video demux is the one remaining hook-shaped stub (no stdlib
-video container exists).
+parsed with stdlib struct), audio as real WAV (stdlib `wave`), and
+video as real RIFF AVI containers ('vids'/'DIB ' streams, demuxed with
+stdlib struct), so `decode_media` extracts true width/height/duration/
+amplitude stats and a real 64-bit average-hash (8x8 luminance grid) from
+actual encoded bytes on ALL THREE kinds — no NotImplementedError, no
+hook-shaped stubs. The `decoder=` hooks stay swappable for production
+formats (JPEG/PNG via PIL, MP3/H.264 via ffmpeg — not in this
+container).
 
 This mirrors how the reference treats files as typed pointers plus lazy
 readers (/root/reference/src/datachain/lib/file.py:200-255) — except
@@ -164,6 +165,171 @@ def parse_wav(payload: bytes) -> dict:
     }
 
 
+# ---------- real AVI codec (stdlib struct; RIFF 'AVI ' + DIB frames) ----------
+
+
+def _dib_stats(frame: bytes, width: int, height: int) -> tuple[float, int]:
+    """Pixel statistics of one uncompressed bottom-up 24-bit DIB frame
+    (the BMP pixel-array layout): mean byte value + the same 8x8
+    average-hash parse_bmp computes."""
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+
+    def lum(x: int, y: int) -> float:
+        o = (height - 1 - y) * stride + x * 3
+        return (frame[o] + frame[o + 1] + frame[o + 2]) / 3.0
+
+    total = 0
+    for y in range(height):
+        o = (height - 1 - y) * stride
+        total += sum(frame[o : o + row_raw])
+    mean_pixel = total / (width * height * 3) if width and height else 0.0
+    grid = [
+        lum(min(gx * width // 8, width - 1), min(gy * height // 8, height - 1))
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    gmean = sum(grid) / 64.0
+    phash = 0
+    for i, v in enumerate(grid):
+        if v > gmean:
+            phash |= 1 << i
+    return float(mean_pixel), phash & 0x7FFFFFFFFFFFFFFF
+
+
+def _riff_chunk(ckid: bytes, data: bytes) -> bytes:
+    return ckid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def _iter_riff(payload: bytes, off: int, end: int):
+    """Walk RIFF sub-chunks in payload[off:end]: yields (ckid, data_off,
+    size). Chunks are word-aligned (odd sizes carry a pad byte)."""
+    while off + 8 <= end:
+        ckid = bytes(payload[off : off + 4])
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        yield ckid, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def encode_avi(
+    width: int, height: int, n_frames: int = 8, fps: int = 10, seed: int = 0
+) -> bytes:
+    """A real, spec-compliant RIFF AVI container ('vids'/'DIB ' stream,
+    uncompressed 24-bit bottom-up frames) with deterministic per-frame
+    pixel content derived from `seed` — any AVI demuxer opens it."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    frame_size = stride * height
+    frames = []
+    for f in range(n_frames):
+        rows = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up, like BMP
+            for x in range(width):
+                for c in range(3):  # B, G, R
+                    rows.append((seed * 31 + f * 17 + x * 7 + y * 13 + c * 101) % 256)
+            rows.extend(b"\x00" * pad)
+        frames.append(bytes(rows))
+
+    # BITMAPINFOHEADER for the DIB stream format
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    # AVISTREAMHEADER: fccType, fccHandler, flags, prio, lang, initial,
+    # scale, rate (fps = rate/scale), start, length, bufsize, quality,
+    # samplesize, rcFrame
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_size, 0, 0
+        )
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,
+        frame_size * fps,
+        0,
+        0x10,  # AVIF_HASINDEX omitted; 0x10 = was-capture-file style flags
+        n_frames,
+        0,
+        1,
+        frame_size,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_frames(payload: bytes) -> list[bytes]:
+    """Real AVI demux: the raw DIB payload of every video frame chunk
+    ('00db' uncompressed / '00dc' compressed), in stream order."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+    for ckid, off, size in _iter_riff(payload, 12, len(payload)):
+        if ckid == b"LIST" and bytes(payload[off : off + 4]) == b"movi":
+            for fid, foff, fsize in _iter_riff(payload, off + 4, off + size):
+                if fid[2:4] in (b"db", b"dc"):
+                    frames.append(bytes(payload[foff : foff + fsize]))
+    return frames
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Parse a RIFF AVI: real header fields (width/height/fps/frame count/
+    duration) plus first-frame pixel statistics and aHash (DIB frames)."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = n_frames = 0
+    usec_per_frame = 0
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, n_frames, usec_per_frame
+        for ckid, doff, size in _iter_riff(payload, off, end):
+            if ckid == b"LIST":
+                walk(doff + 4, doff + size)
+            elif ckid == b"avih" and size >= 56:
+                vals = struct.unpack_from("<14I", payload, doff)
+                usec_per_frame, n_frames, width, height = (
+                    vals[0], vals[4], vals[8], vals[9],
+                )
+
+    walk(12, len(payload))
+    if not (width and height):
+        raise ValueError("AVI missing avih header")
+    fps = round(1_000_000 / usec_per_frame) if usec_per_frame else 0
+    frames = demux_avi_frames(payload)
+    mean_pixel, phash = (
+        _dib_stats(frames[0], width, height) if frames else (0.0, 0)
+    )
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames or len(frames)),
+        "fps": int(fps),
+        "duration_ms": int((n_frames or len(frames)) * usec_per_frame // 1000),
+        "mean_pixel": mean_pixel,
+        "phash": phash,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Real image decode. BMP is parsed natively (stdlib); other container
     formats need an external library — swap this hook for a PIL-backed
@@ -175,6 +341,21 @@ def decode_audio(payload: bytes) -> dict:
     """Real audio decode: WAV natively (stdlib wave); swap the hook for an
     ffmpeg/soundfile decoder for compressed formats in production."""
     return parse_wav(payload)
+
+
+def decode_video(payload: bytes) -> dict:
+    """Real video decode: RIFF AVI demuxed natively (stdlib struct) —
+    header width/height/duration plus first-frame stats; swap the hook for
+    an ffmpeg/PyAV decoder for compressed containers in production.
+    Returns decode_media feature-column names."""
+    d = parse_avi(payload)
+    return {
+        "dec_width": d["width"],
+        "dec_height": d["height"],
+        "dec_duration_ms": d["duration_ms"],
+        "mean_pixel": d["mean_pixel"],
+        "phash": d["phash"],
+    }
 
 
 def fake_image_decoder(payload: bytes) -> dict:
@@ -231,13 +412,13 @@ def decode_media(
     df: DataFrame,
     image_decoder: Callable[[bytes], dict] = decode_image,
     audio_decoder: Callable[[bytes], dict] = decode_audio,
-    video_decoder: Callable[[bytes], dict] | None = None,
+    video_decoder: Callable[[bytes], dict] | None = decode_video,
     payload_col: str = "payload",
     kind_col: str = "kind",
 ) -> DataFrame:
     """Kind-dispatched media decode over Arrow batches: images through the
     real BMP parser, audio through the real WAV parser, video through the
-    optional hook (None -> only n_bytes, the honest no-demuxer answer).
+    real AVI demuxer (pass None to skip video -> only n_bytes).
     Output adds real decoded features:
       n_bytes, dec_width, dec_height, dec_duration_ms, channels,
       sample_rate, mean_pixel, mean_amp, phash
@@ -302,10 +483,11 @@ def frame_sample(
     payload_col: str = "payload",
     duration_col: str = "duration_ms",
 ) -> DataFrame:
-    """Video frame sampling plumbing (1:N): emits one row per sampled
-    timestamp with a stub frame payload (slice of the source bytes — a
-    real implementation would demux). Partitioning: exploding is
-    executor-local, no shuffle."""
+    """Video frame sampling (1:N): one row per sampled timestamp. RIFF AVI
+    payloads are REALLY demuxed — frame_payload is the raw DIB bytes of
+    the frame nearest the timestamp; other containers fall back to a
+    16-byte slice stub (the pre-demuxer behavior, kept for opaque
+    payloads). Partitioning: exploding is executor-local, no shuffle."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -321,6 +503,19 @@ def frame_sample(
                 pdf["media_id"], pdf[duration_col], pdf[payload_col]
             ):
                 dur = int(dur or 0)
+                is_avi = (
+                    payload is not None
+                    and len(payload) >= 12
+                    and bytes(payload[:4]) == b"RIFF"
+                    and bytes(payload[8:12]) == b"AVI "
+                )
+                if is_avi:
+                    frames = demux_avi_frames(bytes(payload))
+                    n = len(frames)
+                    for ts in range(0, dur, every_ms):
+                        idx = min(n - 1, ts * n // max(dur, 1)) if n else 0
+                        rows.append((mid, ts, frames[idx] if n else None))
+                    continue
                 for ts in range(0, dur, every_ms):
                     lo = ts % max(len(payload), 1) if payload else 0
                     rows.append((mid, ts, bytes(payload[lo : lo + 16]) if payload else None))
@@ -361,8 +556,15 @@ def gen_fake_media(spark, n: int = 100) -> DataFrame:
                     payloads.append(encode_wav(int(dur), seed=int(mid)))
                     mimes.append("audio/wav")
                 else:
-                    payloads.append(f"video-{mid:06d}-".encode() * 4)
-                    mimes.append("application/octet-stream")
+                    # real AVI at 10 fps: duration_ms is a multiple of 100,
+                    # so n_frames * 100ms == duration_ms exactly
+                    payloads.append(
+                        encode_avi(
+                            int(w), int(h), n_frames=max(1, int(dur) // 100),
+                            fps=10, seed=int(mid),
+                        )
+                    )
+                    mimes.append("video/x-msvideo")
             yield pdf.assign(payload=payloads, mime=mimes)[
                 ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
             ]

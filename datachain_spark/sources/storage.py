@@ -16,9 +16,12 @@ warehouses lack them — SURVEY.md §1.1).
 
 On a real cluster the same code lists s3a://... through the Hadoop
 filesystem layer; no fsspec, no driver-side listing loop. The reference's
-4h listing cache (listing.py:26) is replaced by nothing: a listing here is
-a lazy DataFrame, recomputed on action like any other scan (persist() or
-save() it for reuse).
+4h listing cache (listing.py:26-61: listings saved as `lst__` datasets
+shared across processes) maps to `cached_listing` / the `cache_root`
+parameter of read_storage: the File-struct listing is materialized to
+parquet once and reused within the TTL — at 10^8 objects a bucket crawl
+is worth sharing; content reads stay live (lazy, per-file), exactly like
+the reference's File readers.
 """
 
 from __future__ import annotations
@@ -29,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FILE_STRUCT_FIELDS = ["source", "path", "size", "last_modified", "etag", "is_latest"]
+
+# incremented on every REAL directory walk (not cache hits) — lets tests
+# (and operators) assert that a cached listing did no re-crawl
+LISTING_WALKS = 0
 
 
 def list_files(
@@ -45,6 +52,8 @@ def list_files(
     analog of the reference's `update` flag over its 4h-TTL listing cache
     (lib/listing.py:26): without it, a re-listing of a path already
     scanned this session returns the cached statuses."""
+    global LISTING_WALKS
+    LISTING_WALKS += 1
     if update:
         spark.catalog.refreshByPath(uri)
     reader = spark.read.format("binaryFile").option(
@@ -63,6 +72,8 @@ def read_storage(
     glob: str | None = None,
     column: str = "file",
     update: bool = False,
+    cache_root: str | None = None,
+    ttl_seconds: int = 4 * 3600,
 ) -> DataFrame:
     """List `uri` into File rows (reference read_storage semantics).
 
@@ -74,7 +85,50 @@ def read_storage(
     last_modified, etag (deterministic digest of path+size+mtime — local
     filesystems have no server etag; object stores would supply one), and
     is_latest (always true here: local listings have no versioning).
-    """
+
+    `cache_root` enables the persistent listing cache (reference
+    lib/listing.py:26-61, its `lst__` datasets with a 4h TTL): within
+    `ttl_seconds` of the last crawl of (uri, recursive, glob), the LISTING
+    comes from the cached parquet with NO directory walk — for
+    type='binary'/'text' the cached paths drive the content read directly
+    (per-file opens, still no crawl). `update=True` forces a re-crawl.
+    Cache-read semantics are a SNAPSHOT view: files deleted since the
+    crawl drop out of the content join; files modified keep their cached
+    etag but read live bytes."""
+    if cache_root is not None:
+        listing = cached_listing(
+            spark, uri, cache_root, ttl_seconds=ttl_seconds,
+            recursive=recursive, glob=glob, update=update, column=column,
+        )
+        if type == "meta":
+            return listing
+        if type not in ("binary", "text"):
+            raise ValueError(f"unknown type {type!r}: expected meta|binary|text")
+        root = uri.rstrip("/")
+        # same O(files) driver-side path list as parse_tabular / Spark's
+        # own file index; the listing is typically curated/filtered
+        paths = [
+            f"{r['source']}/{r['path']}"
+            for r in listing.select(f"{column}.source", f"{column}.path").collect()
+        ]
+        if not paths:
+            return listing.limit(0).withColumn(
+                "data" if type == "binary" else "text",
+                F.lit(None).cast("binary" if type == "binary" else "string"),
+            )
+        content = spark.read.format("binaryFile").load(paths)
+        rel = F.regexp_replace(F.col("path"), r"^file:", "")
+        rel = F.regexp_replace(rel, "^" + _re_quote(root) + "/?", "")
+        content = content.select(
+            rel.alias("__relpath"),
+            F.col("content").alias("data")
+            if type == "binary"
+            else F.decode(F.col("content"), "UTF-8").alias("text"),
+        )
+        return (
+            listing.join(content, F.col(f"{column}.path") == F.col("__relpath"), "inner")
+            .drop("__relpath")
+        )
     df = list_files(spark, uri, recursive=recursive, glob=glob, update=update)
     root = uri.rstrip("/")
     rel = F.regexp_replace(F.col("path"), r"^file:", "")

@@ -177,6 +177,9 @@ def test_decode_media_real_bytes(spark):
     for r in auds:
         assert r["dec_duration_ms"] == r["duration_ms"]
         assert r["channels"] == 1 and r["sample_rate"] == 8000 and r["mean_amp"] > 0
-    # video: no stdlib demuxer -> only n_bytes (the honest hook-shaped gap)
+    # video: real RIFF AVI demux (round 4) -> header-exact dims/duration
     for r in vids:
-        assert r["n_bytes"] > 0 and r["dec_width"] is None and r["phash"] is None
+        assert r["n_bytes"] > 0
+        assert r["dec_width"] == r["width"] and r["dec_height"] == r["height"]
+        assert r["dec_duration_ms"] == r["duration_ms"]
+        assert r["phash"] is not None

@@ -212,3 +212,169 @@ def test_async_compaction_replay_matches_oracle(spark, tmp_path):
         s.props.get("compaction")
         for s in (table.snapshot(v) for v in table.versions())
     )
+
+
+# ---------- read_storage with the persistent listing cache ----------
+def test_read_storage_cache_no_rewalk_within_ttl(spark, tmp_path):
+    from datachain_spark.sources import storage as st
+
+    src = tmp_path / "bucket"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha")
+    (src / "b.txt").write_text("beta")
+    cache = str(tmp_path / "cache")
+
+    w0 = st.LISTING_WALKS
+    first = st.read_storage(spark, str(src), type="meta", cache_root=cache)
+    assert first.count() == 2
+    assert st.LISTING_WALKS == w0 + 1  # one real crawl
+    # second call within TTL: NO directory walk — and content reads (the
+    # binary/text types) drive off the cached paths, also walk-free
+    again = st.read_storage(spark, str(src), type="meta", cache_root=cache)
+    assert again.count() == 2
+    texts = st.read_storage(spark, str(src), type="text", cache_root=cache)
+    got = {r["file"]["path"]: r["text"] for r in texts.collect()}
+    assert got == {"a.txt": "alpha", "b.txt": "beta"}
+    assert st.LISTING_WALKS == w0 + 1  # still just the one crawl
+
+    # a file created after the crawl is INVISIBLE until update/TTL expiry
+    (src / "c.txt").write_text("gamma")
+    assert st.read_storage(spark, str(src), type="meta", cache_root=cache).count() == 2
+    # update=True forces a re-crawl
+    assert (
+        st.read_storage(spark, str(src), type="meta", cache_root=cache, update=True).count()
+        == 3
+    )
+    assert st.LISTING_WALKS == w0 + 2
+
+
+def test_read_storage_cache_ttl_expiry_recrawls(spark, tmp_path):
+    import json as _json
+
+    from datachain_spark.sources import storage as st
+
+    src = tmp_path / "bucket"
+    src.mkdir()
+    (src / "a.txt").write_text("x")
+    cache = str(tmp_path / "cache")
+    st.read_storage(spark, str(src), type="meta", cache_root=cache).count()
+    (src / "b.txt").write_text("y")
+
+    # age the cache entry past the TTL (backdate created_at on disk)
+    (cdir,) = [d for d in os.listdir(cache) if d.startswith("lst__")]
+    meta_path = os.path.join(cache, cdir, "_listing_meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta["created_at"] -= 5 * 3600
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+
+    w0 = st.LISTING_WALKS
+    fresh = st.read_storage(spark, str(src), type="meta", cache_root=cache)
+    assert fresh.count() == 2  # expired -> re-crawled, sees b.txt
+    assert st.LISTING_WALKS == w0 + 1
+
+
+# ---------- sharded read_hf ----------
+def test_read_hf_large_split_shards_without_driver_copy(spark):
+    import pyarrow as pa
+
+    from datachain_spark.sources.hf import read_hf
+
+    n = 5000
+    table = pa.table({"id": list(range(n)), "txt": [f"t{i}" for i in range(n)]})
+
+    class NoPandasTable:
+        """Arrow backing that REFUSES a full driver materialization."""
+
+        num_rows = n
+        schema = table.schema
+
+        def to_batches(self):
+            return table.to_batches(max_chunksize=500)
+
+        def to_pandas(self):
+            raise AssertionError("full-split to_pandas() on a large dataset")
+
+    class FakeDataset:
+        features = {"id": None, "txt": None}
+        data = NoPandasTable()
+
+    import datachain_spark.sources.hf as hf_mod
+
+    old = hf_mod.SHARD_THRESHOLD_ROWS
+    hf_mod.SHARD_THRESHOLD_ROWS = 1000
+    try:
+        df = read_hf(spark, FakeDataset())
+        assert df.count() == n
+        assert df.rdd.getNumPartitions() > 1  # really distributed shards
+        got = {r["id"]: r["txt"] for r in df.filter("id < 5 or id >= 4995").collect()}
+        assert got[0] == "t0" and got[4999] == "t4999"
+    finally:
+        hf_mod.SHARD_THRESHOLD_ROWS = old
+
+
+def test_shard_arrow_to_parquet_rotates_files(tmp_path):
+    import pyarrow as pa
+
+    from datachain_spark.sources.hf import _shard_arrow_to_parquet
+
+    t = pa.table({"x": list(range(3000))})
+    n_shards = _shard_arrow_to_parquet(t, str(tmp_path / "sh"), rows_per_shard=1000)
+    assert n_shards == 3
+    assert len(list((tmp_path / "sh").glob("*.parquet"))) == 3
+
+
+# ---------- real AVI codec ----------
+def test_avi_codec_roundtrip_pure():
+    from datachain_spark.operators.multimodal import (
+        demux_avi_frames,
+        encode_avi,
+        parse_avi,
+    )
+
+    payload = encode_avi(16, 12, n_frames=5, fps=10, seed=7)
+    d = parse_avi(payload)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (16, 12, 5, 10)
+    assert d["duration_ms"] == 500
+    frames = demux_avi_frames(payload)
+    stride = 16 * 3  # 48 bytes, already word-aligned
+    assert len(frames) == 5 and all(len(f) == stride * 12 for f in frames)
+    assert frames[0] != frames[1]  # per-frame content differs
+    assert 0.0 < d["mean_pixel"] < 255.0 and d["phash"] > 0
+    # determinism + seed sensitivity
+    assert encode_avi(16, 12, n_frames=5, fps=10, seed=7) == payload
+    assert encode_avi(16, 12, n_frames=5, fps=10, seed=8) != payload
+
+
+def test_decode_media_video_real_avi(spark):
+    from datachain_spark.operators.multimodal import decode_media, gen_fake_media
+
+    media = gen_fake_media(spark, n=30)
+    out = decode_media(media)
+    vids = out.filter("kind = 'video'").collect()
+    assert vids
+    for r in vids:
+        assert r["dec_width"] == r["width"] and r["dec_height"] == r["height"]
+        assert r["dec_duration_ms"] == r["duration_ms"]  # header-exact
+        assert r["phash"] is not None and r["mean_pixel"] is not None
+
+
+def test_frame_sample_real_avi_demux(spark):
+    from datachain_spark.operators.multimodal import (
+        encode_avi,
+        frame_sample,
+        gen_fake_media,
+    )
+
+    media = gen_fake_media(spark, n=30).filter("kind = 'video'")
+    frames = frame_sample(media, every_ms=100)
+    got = frames.filter("media_id = 2").orderBy("frame_ts_ms").collect()
+    # media_id=2: duration=(2%20+1)*100=300ms, width=7, height=6 -> 3 frames
+    assert len(got) == 3
+    # the sampled payloads are the REAL demuxed DIB frames
+    from datachain_spark.operators.multimodal import demux_avi_frames
+
+    src = encode_avi(7, 6, n_frames=3, fps=10, seed=2)
+    expect = demux_avi_frames(src)
+    assert [bytes(r["frame_payload"]) for r in got] == expect

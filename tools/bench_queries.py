@@ -45,9 +45,12 @@ def main() -> None:
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        times = []
+        for _ in range(3):  # best-of-3: the host swings +-50% run-to-run
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        out[name] = round(min(times), 3)
     print(json.dumps({"queries": out}))
 
 
