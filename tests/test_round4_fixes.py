@@ -378,3 +378,24 @@ def test_frame_sample_real_avi_demux(spark):
     src = encode_avi(7, 6, n_frames=3, fps=10, seed=2)
     expect = demux_avi_frames(src)
     assert [bytes(r["frame_payload"]) for r in got] == expect
+
+
+# ---------- prefetch_files (reference UDF prefetcher analog) ----------
+def test_prefetch_files_concurrent_fetch_and_missing_null(spark, tmp_path):
+    from datachain_spark.sources.storage import prefetch_files, read_storage
+
+    src = tmp_path / "bucket"
+    src.mkdir()
+    for i in range(6):
+        (src / f"f{i}.bin").write_bytes(bytes([i]) * (i + 1))
+    listing = read_storage(spark, str(src), type="meta")
+    fetched = prefetch_files(listing, workers=4)
+    got = {r["file"]["path"]: bytes(r["data"]) for r in fetched.collect()}
+    assert got == {f"f{i}.bin": bytes([i]) * (i + 1) for i in range(6)}
+
+    # stale listing: a file deleted after the crawl -> NULL data, no crash
+    snap = listing.localCheckpoint()
+    (src / "f3.bin").unlink()
+    rows = {r["file"]["path"]: r["data"] for r in prefetch_files(snap).collect()}
+    assert rows["f3.bin"] is None
+    assert bytes(rows["f5.bin"]) == bytes([5]) * 6
