@@ -385,7 +385,13 @@ class Chain:
         query/dataset.py:1221-1360): output is persisted in ~checkpoint_rows
         committed chunks keyed by a content hash of `checkpoint_on` (default:
         all input columns); a crashed run reprocesses only rows without
-        committed output. Requires a deterministic fn. Materializes eagerly."""
+        committed output. The key identifies a UNIT OF WORK: rows that are
+        duplicates under it are processed once and each receives the single
+        stored output (so `checkpoint_on` must functionally determine the
+        fn's inputs — see checkpoint.py for the 64-bit-collision caveat at
+        multi-billion-row scale). Requires a deterministic fn and upstream.
+        Materializes eagerly; concurrent resumes of one store are refused
+        via a pid lockfile."""
         default_name = None
         if fn is None:
             if len(signal_map) != 1:
@@ -509,9 +515,10 @@ class Chain:
         yields output tuples (or model instances) per input row; runs over
         Arrow batches. Output schema inferable from an Iterator[Model] /
         Iterator[T] return annotation; setup()/teardown() honored.
-        `checkpoint=dir` enables row-level resume (see map); input rows
-        whose outputs (possibly zero — recorded via an explicit marker)
-        are committed are never re-generated."""
+        `checkpoint=dir` enables row-level resume (see map — including the
+        duplicate-key unit-of-work semantics); input rows whose outputs
+        (possibly zero — recorded via an explicit marker) are committed are
+        never re-generated."""
         import pandas as pd
 
         use = params if params is not None else infer_params(fn, self.df.columns)
