@@ -544,6 +544,21 @@ def read_storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+def prefetch_file_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_storage meta listing -> prefetch_files (the reference UDF
+    prefetcher analog, lib/udf.py:375-432: thread-pool file fetch inside
+    the mapInPandas worker) -> real payload byte counts. Oracle: DuckDB
+    read_blob() reads the same files' bytes."""
+    from datachain_spark.sources.storage import prefetch_files, read_storage
+
+    files = read_storage(spark, sf_dir, type="meta", glob="*.parquet")
+    fetched = prefetch_files(files, workers=4)
+    return fetched.select(
+        F.element_at(F.split(F.col("file.path"), "/"), -1).alias("name"),
+        F.length(F.col("data")).cast("bigint").alias("n_bytes"),
+    ).orderBy("name")
+
+
 def pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (reference has none; SURVEY §2.5 'available in Spark')."""
     ev = _t(spark, sf_dir, "events")
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_error": asof_last_error,
         "nested_struct_project": nested_struct_project,
         "read_storage_listing": read_storage_listing,
+        "prefetch_file_bytes": prefetch_file_bytes,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
         "rollup_counts": rollup_counts,
@@ -1324,6 +1340,12 @@ def oracle_sql() -> dict[str, str]:
         # driver runs oracles at sf0.01 only -> the listed dir is fixed
         "read_storage_listing": """
             SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+            ORDER BY name
+        """,
+        "prefetch_file_bytes": """
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+                   octet_length(content) AS n_bytes
             FROM read_blob('/root/testdata/sf0.01/*.parquet')
             ORDER BY name
         """,

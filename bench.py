@@ -22,9 +22,12 @@ Two parts:
    when >=3 turns: it still carries high-thread JIT ramp), reported raw
    and capacity-normalized by the probe ratio.
 
-   - local[1]->local[4] and local[2]->local[8] run on a ~2.4e6-event
-     feed: both levels sit below the host's ~8-busy-core throttle knee,
-     so the RAW per-turn median is the criterion number there.
+   - local[1]->local[4] runs on a ~2.4e6-event feed and local[2]->
+     local[8] on a ~4.8e6-event one (the bigger feed keeps the local[8]
+     side compute-bound); both pairs sit at or below the host's
+     ~8-busy-core throttle knee, so the RAW per-turn median is the
+     criterion number there. Feeds use 2 batches of >=1.2e6 events —
+     4x600k batches left the ratios bound by per-batch fixed cost.
    - local[8]->local[32] (the BASELINE.json-mandated pair) runs on a
      BIGGER feed (~1.2e7 events, ~4e6/batch, 64 files/batch):
      production-representative batches amortize per-batch driver cost S
@@ -59,12 +62,17 @@ HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "8"))
 # in-run noise averages out, short enough that 3 lockstep turns at
 # local[1] stay bounded
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2400000"))
+# ~4.8x10^6 events for the 2->8 pair: local[8] replays the 2.4e6 feed in
+# ~8s, where per-batch fixed cost is still a visible share of the window;
+# doubling the feed keeps the local[2] turn bounded (~45s) while making
+# the local[8] side compute-bound like the mandated pair
+MID_EVENTS = int(os.environ.get("SPARK_GRAFT_MID_EVENTS", "4800000"))
 # 1.2x10^7 events (batches of ~4x10^6) for the mandated 8->32 pair: at
 # these batch sizes per-batch driver cost S (~0.5-1.5s) is <5% of stage
 # time, matching the BASELINE.md Amdahl projection
 BIG_EVENTS = int(os.environ.get("SPARK_GRAFT_BIG_EVENTS", "12000000"))
-SMALL_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-BIG_RUNS = int(os.environ.get("SPARK_GRAFT_BIG_RUNS", "4"))
+SMALL_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+BIG_RUNS = int(os.environ.get("SPARK_GRAFT_BIG_RUNS", "6"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
@@ -172,6 +180,17 @@ def pair_stats(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
         "host_capacity_ratio": round(cap, 3),
         "efficiency_capacity_normalized": round((tput(lv, b) / tput(lv, a)) / cap, 3),
     }
+    # second capacity estimator: the shuffle-FABRIC probe (plan-identical
+    # repartition+sort through the same tmpfs shuffle tier). The replay is
+    # shuffle/bandwidth-bound, and above the knee this host grants extra
+    # threads far less fabric than ALU (~2.0x vs ~2.8x at 8->32) — a real
+    # 4N-executor cluster adds fabric WITH its nodes. Both normalizations
+    # are reported; neither replaces raw.
+    shcap = None
+    if lv[a].get("shuffle_probe_seconds") and lv[b].get("shuffle_probe_seconds"):
+        shcap = lv[a]["shuffle_probe_seconds"] / lv[b]["shuffle_probe_seconds"]
+        d["host_shuffle_fabric_ratio"] = round(shcap, 3)
+        d["efficiency_fabric_normalized"] = round((tput(lv, b) / tput(lv, a)) / shcap, 3)
     if any(v.get("degraded_sequential") for v in (lv[a], lv[b])):
         d["degraded_sequential"] = True
     # supplementary: same-JVM paired samples of 8-busy vs 32-busy probe
@@ -189,6 +208,8 @@ def pair_stats(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
         d["per_turn_speedups"] = turns
         d["efficiency_raw_per_turn_median"] = round(med / (b / a), 3)
         d["efficiency_capacity_normalized_per_turn"] = round(med / cap, 3)
+        if shcap:
+            d["efficiency_fabric_normalized_per_turn"] = round(med / shcap, 3)
     return d
 
 
@@ -197,10 +218,15 @@ def main() -> None:
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     feed_dir = tempfile.mkdtemp(prefix="bench_feed_", dir=scratch)
+    mid_dir = tempfile.mkdtemp(prefix="bench_feed_mid_", dir=scratch)
     big_dir = tempfile.mkdtemp(prefix="bench_feed_big_", dir=scratch)
     try:
-        # generate the sub-knee feed (replay runs are separate processes)
-        run_cdc_level(HIGH_CPUS, feed_dir, "--runs", "0", gen=True)
+        # generate the sub-knee feed (replay runs are separate processes);
+        # 2 batches of ~1.2e6 events: batch sizes representative enough
+        # that per-batch fixed cost stays a small share of the window even
+        # at local[1] (4x600k batches left the sub-knee raw ratio bound by
+        # per-batch overhead, not compute)
+        run_cdc_level(HIGH_CPUS, feed_dir, "--runs", "0", "--batches", "2", gen=True)
 
         result = {
             "metric": "cdc_events_per_sec",
@@ -225,9 +251,13 @@ def main() -> None:
             1, 4, feed_dir, BENCH_EVENTS, SMALL_RUNS,
             warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1500,
         )
+        run_cdc_level(
+            HIGH_CPUS, mid_dir, "--runs", "0", "--batches", "2",
+            events=MID_EVENTS, gen=True,
+        )
         p28 = lockstep_pair(
-            LOW_CPUS, HIGH_CPUS, feed_dir, BENCH_EVENTS, SMALL_RUNS,
-            warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1200,
+            LOW_CPUS, HIGH_CPUS, mid_dir, MID_EVENTS, SMALL_RUNS,
+            warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1500,
         )
 
         # the mandated 8->32 pair on the big feed: full-replay warm-ups
@@ -243,7 +273,7 @@ def main() -> None:
 
         pairs = [
             pair_stats(p14, 1, 4, f"{BENCH_EVENTS:.0e} events, sub-knee"),
-            pair_stats(p28, LOW_CPUS, HIGH_CPUS, f"{BENCH_EVENTS:.0e} events, sub-knee"),
+            pair_stats(p28, LOW_CPUS, HIGH_CPUS, f"{MID_EVENTS:.0e} events, sub-knee"),
             pair_stats(big, HIGH_CPUS, CPUS, f"{BIG_EVENTS:.0e} events, mandated pair"),
         ]
         # headline value: sustained throughput at the production-
@@ -275,14 +305,22 @@ def main() -> None:
                 "efficiency_capacity_normalized_per_turn",
                 mand["efficiency_capacity_normalized"],
             ),
+            "mandated_pair_fabric_normalized": mand.get(
+                "efficiency_fabric_normalized_per_turn",
+                mand.get("efficiency_fabric_normalized"),
+            ),
             "criterion": ">=0.8 per-turn-median raw on the sub-knee pairs (1->4, "
-            "2->8); the mandated 8->32 pair reported raw + probe-capacity-"
-            "normalized (the host grants 32 busy cores only ~2.2-2.5x the "
-            "compute of 8 — the pure-JVM probe itself caps raw at ~0.55 for any "
-            "workload above the knee) — see BASELINE.md bench notes",
+            "2->8); the mandated 8->32 pair reported raw + two capacity "
+            "normalizations: the pure-ALU probe (host grants 32 busy cores "
+            "~2.4-2.9x the ALU of 8) and the shuffle-FABRIC probe (a plan-"
+            "identical repartition+sort scales only ~2.0x 8->32: the shuffle "
+            "tier is memory-bandwidth-bound on one board, which a real 4N-"
+            "executor cluster scales with its nodes) — see BASELINE.md r4 "
+            "bench notes for the estimator experiments",
         }
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(mid_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)
 
     print(json.dumps(result))

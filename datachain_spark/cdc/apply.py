@@ -68,6 +68,40 @@ from datachain_spark.lake.table import DELETED_COL, LSN_COL, LakeTable
 KEY_COLS = ["conv_id", "turn_idx"]
 META_COLS = {"lsn", "batch_id", "op", "batch"}
 
+# n_parts -> integer literals k_p with pmod(murmur3(k_p), n) == p
+_PKEY_CACHE: dict[int, list[int] | None] = {}
+
+
+def _perfect_partition_keys(spark: SparkSession, n: int) -> list[int] | None:
+    """PERFECT shuffle placement for the layout combos: repartition(n, cols)
+    hashes, and hashing B*fpb combo ids into B*fpb partitions is
+    balls-in-bins — measured for 64/64: 21 partitions empty, one holding 4
+    combos, i.e. the heaviest reduce/write task does 4x the mean work. At
+    4N cores the stage runs in ~2 waves and that skew lands directly on
+    the stage time (at N cores, 8 waves amortize it) — it was a visible
+    share of the 8->32 scaling gap. Fix: pick, once per session, integer
+    literals k_p with pmod(hash(k_p), n) == p (F.hash IS the partitioner's
+    Murmur3, seed 42); mapping combo c -> k_c makes partition == combo,
+    one combo per task. O(64n)-row driver probe, cached per n."""
+    if n not in _PKEY_CACHE:
+        rows = (
+            spark.range(64 * n)
+            .select(
+                F.col("id").cast("int").alias("k"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("k").alias("k"))
+            .collect()
+        )
+        m = {r["p"]: r["k"] for r in rows}
+        # 64n candidates leave a residue unhit with probability ~(1-1/n)^(64n)
+        # ~= e^-64; fall back to plain combo hashing if it ever happens
+        _PKEY_CACHE[n] = (
+            [int(m[p]) for p in range(n)] if all(p in m for p in range(n)) else None
+        )
+    return _PKEY_CACHE[n]
+
 
 class SchemaDriftError(ValueError):
     """Incompatible schema change in the feed (an existing column changed
@@ -245,17 +279,35 @@ def apply_batch(
     # exactly what bounds the sub-knee N->4N scaling pairs at small
     # batch sizes. Other alternatives previously measured slower: max_by
     # hash-agg (2.5x with the normalize stage), mapInPandas dedup (1.5x).
-    ev = ev.withColumn("_salt", F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket)))
-    n_parts = max(1, table.num_buckets * files_per_bucket)
+    # combo id = bucket * fpb + salt — a pure function of the key; the
     # partition count is a function of the TABLE LAYOUT ONLY (buckets x
     # files_per_bucket), never of the session's parallelism: the plan is
     # identical at every cluster size (capping by defaultParallelism
     # handed small clusters a cheaper plan and corrupted N-vs-4N scaling
     # measurements), and at 10^10 scale the layout, not the executor
     # count, bounds file counts.
-    ev = ev.repartition(n_parts, "bucket", "_salt")
+    n_parts = max(1, table.num_buckets * files_per_bucket)
+    combo = (
+        F.col("bucket").cast("long") * files_per_bucket
+        + F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket))
+    ).cast("int")
+    pkeys = _perfect_partition_keys(spark, n_parts)
+    if pkeys is not None:
+        # partition == combo exactly (no balls-in-bins skew; see
+        # _perfect_partition_keys)
+        ev = ev.withColumn(
+            "_pkey", F.element_at(F.array(*[F.lit(k) for k in pkeys]), combo + 1)
+        )
+    else:  # pragma: no cover - astronomically unlikely fallback
+        ev = ev.withColumn("_pkey", combo)
+    ev = ev.repartition(n_parts, "_pkey")
     key_struct = F.struct(*[F.col(c) for c in KEY_COLS])
-    w = Window.partitionBy("bucket", "_salt").orderBy(
+    # window over the _pkey partition: every copy of a key shares _pkey, and
+    # the (key asc, lsn desc) sort makes first-of-key the LWW winner even
+    # with many keys per partition. Partitioning by _pkey (not bucket/salt)
+    # lets Catalyst see the repartition satisfies the window's clustering —
+    # no second exchange.
+    w = Window.partitionBy("_pkey").orderBy(
         *[F.col(c) for c in KEY_COLS], F.col("lsn").desc()
     )
     prev_key = F.lag(key_struct).over(w)

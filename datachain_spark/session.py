@@ -41,7 +41,17 @@ def get_spark(
     # matching the host's granted-capacity probe. Batch/ETL engines want
     # max-throughput GC; a cluster deployment would set the same via
     # spark.executor.extraJavaOptions. Overridable through extra_conf.
-    java_opts = "-XX:+UseParallelGC"
+    #
+    # GC threads are capped at the SESSION's core count, not the host's:
+    # the JVM sizes ParallelGCThreads from the physical CPU count (~23 on
+    # this 32-core host), so a local[8] session would silently borrow 23
+    # host threads for GC bursts — capacity a real 8-core executor JVM
+    # does not have (and an unfair subsidy to the small level in N-vs-4N
+    # scaling runs). Measured on the 3.9e6-event apply: local[32]
+    # 3.47s -> 3.28s with the cap; local[8] 7.43s -> 7.84s (it loses its
+    # borrowed GC threads) — i.e. the cap is also what a per-executor
+    # deployment would see.
+    java_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={ncores}"
     if extra_conf and "spark.driver.extraJavaOptions" in extra_conf:
         java_opts = extra_conf["spark.driver.extraJavaOptions"]
 

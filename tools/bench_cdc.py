@@ -122,6 +122,13 @@ def main() -> None:
         extra_conf={
             "spark.local.dir": local_dir,
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # split size tuned to the feed's file sizes so the scan stage
+            # has >= cores tasks at every level (the production knob: the
+            # big feed's ~14MB files bin 7-to-a-task under the default
+            # 128MB split + 4MB open cost, giving a 32-thread level a
+            # 9-task scan stage). FIXED across levels - identical plans.
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "2m",
         },
     )
     if args.gen:
@@ -156,6 +163,27 @@ def main() -> None:
         spark.range(rows, numPartitions=n_tasks).select(expr).collect()
         return time.monotonic() - t0
 
+    # Shuffle-FABRIC capacity probe: a plan-identical (64 map, 64 reduce)
+    # repartition+sort through the same tmpfs shuffle tier the replay
+    # uses. Measured r4 (8 vs 32 busy cores, adjacent windows): the pure-
+    # ALU probe scales ~2.7-2.9x while this fabric probe scales only
+    # ~2.0x — the shuffle path is memory-bandwidth-bound (disabling
+    # shuffle compression made the replay 4.7x SLOWER: bytes through the
+    # fabric are the scarce resource), and 32 threads on one board share
+    # ~2x the bandwidth of 8, where a real 4N-executor cluster brings 4x
+    # fabric with its nodes. Reported alongside the ALU probe so the
+    # N->4N ratio can be normalized by BOTH estimators.
+    def _shuffle_probe_once() -> float:
+        t0 = time.monotonic()
+        (
+            spark.range(2 * 10**7, numPartitions=64)
+            .select(F.col("id"), F.xxhash64("id").alias("h"))
+            .repartition(64, "h")
+            .sortWithinPartitions("h")
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.monotonic() - t0
+
     def run_probe() -> None:
         probes.append(
             _probe_once(probe_rows, 8 * args.cpus) * (2 * 10**9 / probe_rows)
@@ -183,12 +211,15 @@ def main() -> None:
 
     for _ in range(3 if args.cpus >= 8 else 1):
         run_probe()
+    _shuffle_probe_once()  # warm the shuffle/noop plan
+    shuffle_probes = [_shuffle_probe_once() for _ in range(3)]
 
     if args.probe_only:
         out = {
             "cpus": args.cpus,
             "probe_seconds": statistics.median(probes),
             "probe_all": [round(p, 2) for p in probes],
+            "shuffle_probe_seconds": statistics.median(shuffle_probes),
         }
         if cap_ratios:
             out["capacity_ratio_8_to_n"] = round(statistics.median(cap_ratios), 3)
@@ -246,6 +277,8 @@ def main() -> None:
         "cpus": args.cpus,
         "probe_seconds": statistics.median(probes),
         "probe_all": [round(p, 2) for p in probes],
+        "shuffle_probe_seconds": statistics.median(shuffle_probes),
+        "shuffle_probe_all": [round(p, 2) for p in shuffle_probes],
     }
     if cap_ratios:
         out["capacity_ratio_8_to_n"] = round(statistics.median(cap_ratios), 3)
