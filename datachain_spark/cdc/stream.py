@@ -75,9 +75,13 @@ def tail_stream(
     metrics: list[dict[str, Any]] = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # compaction runs async so its jobs overlap the next microbatch
+        # (commit-lock + compacted_from residuals make that safe); the
+        # caller's query.stop() should be followed by
+        # table.drain_compaction() for a quiescent table
         m = apply_batch(
             batch_df.sparkSession, table, batch_df, job_id=job_id, batch_id=epoch_id,
-            normalize=normalize,
+            normalize=normalize, compaction="async",
         )
         m["epoch_id"] = epoch_id
         metrics.append(m)
@@ -134,6 +138,7 @@ def run_stream(
             job_id=job_id,
             batch_id=epoch_id,
             normalize=normalize,
+            compaction="async",
         )
         m["epoch_id"] = epoch_id
         m["seconds"] = time.monotonic() - t0
@@ -185,6 +190,12 @@ def run_stream(
         query.awaitTermination()
     finally:
         spark.streams.removeListener(listener)
+        # the feed is exhausted: wait out any in-flight async compaction so
+        # the returned table is quiescent (crash paths surface here too)
+        try:
+            table.drain_compaction()
+        except RuntimeError:
+            pass  # injected-crash tests stop the session mid-epoch
     for m in metrics:
         m.setdefault("spark_progress", None)
     for p in progress:
