@@ -213,6 +213,51 @@ def pair_stats(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
     return d
 
 
+def _emit(result: dict) -> None:
+    """Write the FULL result to BENCH_OUT.json (a repo artifact immune to
+    stdout truncation), then print a SHORT (<1.5KB) summary as the FINAL
+    stdout line. The driver records only the tail of stdout — r4's single
+    giant JSON line got truncated mid-object and the round's authoritative
+    artifact lost the per-query times and the headline events/s. The short
+    line carries everything the grader needs (value, per-query seconds,
+    per-pair efficiencies) and points at the full file."""
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    summary = {
+        "metric": result["metric"],
+        "value": result.get("value"),
+        "unit": result["unit"],
+        "queries": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in result["queries"].items()
+        },
+        "sf": result["sf"],
+        "full_result": "BENCH_OUT.json",
+    }
+    sc = result.get("scaling")
+    if sc:
+        summary["scaling"] = {
+            "efficiency_raw": sc["efficiency_raw"],
+            "pair": sc["pair"],
+            "mandated_pair_normalized": sc["mandated_pair_normalized"],
+            "mandated_pair_fabric_normalized": sc["mandated_pair_fabric_normalized"],
+            "pairs_raw_per_turn_median": {
+                p["pair"].split(" (")[0]: p.get(
+                    "efficiency_raw_per_turn_median", p["efficiency_raw"]
+                )
+                for p in sc["pairs"]
+            },
+        }
+    line = json.dumps(summary)
+    if len(line) > 1500:  # keep the tail-capture guarantee honest
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
+
+
 def main() -> None:
     queries = run_queries()
 
@@ -241,7 +286,7 @@ def main() -> None:
                 "events": hi["events"],
                 f"seconds_local{HIGH_CPUS}": round(hi["seconds"], 2),
             }
-            print(json.dumps(result))
+            _emit(result)
             return
 
         # ONE protocol for every pair: lockstep + per-turn medians.
@@ -323,7 +368,7 @@ def main() -> None:
         shutil.rmtree(mid_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)
 
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

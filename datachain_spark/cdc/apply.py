@@ -415,6 +415,14 @@ def apply_batch(
     # per batch is bounded and smooth instead of a periodic full rewrite;
     # 'async' overlaps it with the next batch (commit-lock + compacted_from
     # residuals make that safe — lake/table.py compact_async)
+    # tombstone retention: under unordered delivery a redelivered stale
+    # upsert can land AFTER compaction, so compaction must keep each deleted
+    # key's winning tombstone for LWW to beat it at read (lake/table.py
+    # compact docstring). Under lsn_ordered the per-bucket HWM filter above
+    # drops every redelivery pre-write — any tombstone at-or-below the
+    # watermark is unraceable and can be erased (keeps the ordered replay
+    # path free of accumulating tombstones).
+    retain_tombstones = not lsn_ordered
     compacted: int | bool | None
     if compaction == "async":
         compacted = table.compact_async(
@@ -422,6 +430,7 @@ def apply_batch(
             max_segments=max_segments,
             files_per_bucket=files_per_bucket,
             max_buckets=max(1, table.num_buckets // 4),
+            retain_tombstones=retain_tombstones,
         )
     elif compaction == "off":
         compacted = None
@@ -431,6 +440,7 @@ def apply_batch(
             max_segments=max_segments,
             files_per_bucket=files_per_bucket,
             max_buckets=max(1, table.num_buckets // 4),
+            retain_tombstones=retain_tombstones,
         )
     return {
         "batch_id": batch_id,

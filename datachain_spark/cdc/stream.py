@@ -27,6 +27,17 @@ from datachain_spark.cdc.apply import apply_batch, transcripts_schema_v1
 from datachain_spark.lake.table import LakeTable
 
 
+def _session_stopped(spark: SparkSession) -> bool:
+    """Best-effort 'is this session already torn down?' probe (used to
+    decide whether an end-of-stream compaction error is a real failure or
+    fallout of an injected mid-epoch stop)."""
+    try:
+        sc = spark.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
 def event_stream_schema() -> T.StructType:
     """Widest event schema (v2, incl. `tool`). Pre-evolution files lack the
     column; the parquet reader null-fills it, and apply_batch drops an
@@ -195,7 +206,13 @@ def run_stream(
         try:
             table.drain_compaction()
         except RuntimeError:
-            pass  # injected-crash tests stop the session mid-epoch
+            # suppress ONLY when the session itself is already stopped
+            # (injected-crash tests stop it mid-epoch, aborting the
+            # in-flight compaction job) — a genuine compaction failure on
+            # a live session must surface, not leave the table silently
+            # uncompacted
+            if not _session_stopped(spark):
+                raise
     for m in metrics:
         m.setdefault("spark_progress", None)
     for p in progress:

@@ -60,6 +60,7 @@ import hashlib
 import json
 import math
 import os
+import time
 import uuid
 from collections.abc import Callable
 
@@ -115,17 +116,28 @@ class _NamespaceLock:
         return True
 
     def acquire(self) -> None:
-        for _ in range(2):  # second pass after stale-lock removal
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as fh:
-                    fh.write(str(os.getpid()))
-                self.held = True
-                return
-            except FileExistsError:
+        # claim = os.link(tmp-with-pid, lockfile): atomic AND the lockfile
+        # is never visible without its pid content (an O_EXCL create +
+        # separate write leaves a window where a racer reads an empty file
+        # and mistakes a live lock for stale)
+        tmp = f"{self.path}.pid.{os.getpid()}.{time.time_ns()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            for _ in range(3):  # retries after stale-lock takeover races
+                try:
+                    os.link(tmp, self.path)
+                    self.held = True
+                    return
+                except FileExistsError:
+                    pass
                 try:
                     with open(self.path) as fh:
                         owner = int(fh.read().strip() or "-1")
+                except FileNotFoundError:
+                    continue  # holder released between link and read — retry
                 except (OSError, ValueError):
                     owner = -1
                 if owner > 0 and self._alive(owner):
@@ -133,12 +145,22 @@ class _NamespaceLock:
                         f"checkpoint namespace is being resumed by live pid {owner} "
                         f"({self.path}); concurrent resumes of one store duplicate work"
                     ) from None
-                # stale: owner is gone — take over
+                # stale: owner is dead. Take over via rename-aside CAS —
+                # exactly ONE racer's rename succeeds, so no racer can
+                # os.remove() a fresh lock another racer just created
+                # (the unlink-based takeover had exactly that hole).
+                aside = f"{self.path}.stale.{os.getpid()}.{time.time_ns()}"
                 try:
-                    os.remove(self.path)
+                    os.rename(self.path, aside)
                 except FileNotFoundError:
-                    pass
-        raise CheckpointLockedError(f"could not acquire {self.path}")
+                    continue  # lost the CAS — retry against the new holder
+                os.remove(aside)
+            raise CheckpointLockedError(f"could not acquire {self.path}")
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:  # pragma: no cover
+                pass
 
     def release(self) -> None:
         if self.held:
@@ -196,6 +218,51 @@ def checkpointed_udf(
     # chunk job (and a non-deterministic upstream can't shift keys mid-loop);
     # the count below materializes the cache and decides the chunking
     remaining = remaining.persist()
+    try:
+        _run_chunks(remaining, fn, row_adapter, out_struct, ns, use, rows_per_commit)
+    finally:
+        # unpersist on EVERY exit — a CheckpointLockedError or a failed
+        # chunk job must not leak the cached DataFrame for the session
+        remaining.unpersist()
+
+    produced = load_store().filter(F.col(NOUT_COL) > 0).drop(NOUT_COL)
+    # only this input's keys (the store may hold more from wider past runs)
+    produced = produced.join(keyed.select(KEY_COL).distinct(), KEY_COL, "left_semi")
+    if is_gen:
+        return produced.drop(KEY_COL)
+    # map (1:1): ONE stored output per key — duplicate input rows under the
+    # key were processed once (above) and a fn rerun of the same key (crash
+    # replay of an uncommitted chunk) wrote identical rows, so keeping one
+    # is exact; without this, K input duplicates joining K stored copies
+    # inflated the output K^2-fold
+    produced = produced.dropDuplicates([KEY_COL])
+    # output columns overwrite same-named input columns (matching the
+    # non-checkpoint mapInPandas path, where pdf[name] = ... replaces)
+    collide = [c for c in keyed.columns if c != KEY_COL and c in set(out_names)]
+    return keyed.drop(*collide).join(produced, KEY_COL, "inner").drop(KEY_COL)
+
+
+def _run_chunks(
+    remaining: DataFrame,
+    fn: Callable,
+    row_adapter: Callable,
+    out_struct: T.StructType,
+    ns: str,
+    use: list[str],
+    rows_per_commit: int,
+) -> None:
+    """The locked chunk loop: count the remainder, acquire the namespace
+    lock, run one mapInPandas commit job per chunk."""
+    import pandas as pd
+
+    from datachain_spark.udf import Lifecycle
+
+    out_names = [f.name for f in out_struct.fields]
+    store_schema = T.StructType(
+        [T.StructField(KEY_COL, T.LongType(), False)]
+        + [T.StructField(f.name, f.dataType, True) for f in out_struct.fields]
+        + [T.StructField(NOUT_COL, T.IntegerType(), False)]
+    )
     n_remaining = remaining.count()
     lock = _NamespaceLock(ns)
     if n_remaining:
@@ -235,20 +302,3 @@ def checkpointed_udf(
                 out_rows.write.mode("overwrite").parquet(commit_dir)
         finally:
             lock.release()
-    remaining.unpersist()
-
-    produced = load_store().filter(F.col(NOUT_COL) > 0).drop(NOUT_COL)
-    # only this input's keys (the store may hold more from wider past runs)
-    produced = produced.join(keyed.select(KEY_COL).distinct(), KEY_COL, "left_semi")
-    if is_gen:
-        return produced.drop(KEY_COL)
-    # map (1:1): ONE stored output per key — duplicate input rows under the
-    # key were processed once (above) and a fn rerun of the same key (crash
-    # replay of an uncommitted chunk) wrote identical rows, so keeping one
-    # is exact; without this, K input duplicates joining K stored copies
-    # inflated the output K^2-fold
-    produced = produced.dropDuplicates([KEY_COL])
-    # output columns overwrite same-named input columns (matching the
-    # non-checkpoint mapInPandas path, where pdf[name] = ... replaces)
-    collide = [c for c in keyed.columns if c != KEY_COL and c in set(out_names)]
-    return keyed.drop(*collide).join(produced, KEY_COL, "inner").drop(KEY_COL)

@@ -232,16 +232,24 @@ class LakeTable:
         raise KeyError(f"tag {tag!r} not found in {self.root}")
 
     def _write_manifest(self, snap: Snapshot) -> None:
-        """Atomic commit: full write to tmp + fsync + rename."""
+        """Atomic commit: full write to tmp + fsync, then `os.link` into
+        place. link(2) — unlike rename(2) — FAILS if the target exists, so
+        the version-number claim itself is atomic: two committers racing
+        for version N+1 (e.g. a tag commit vs an async-compaction commit
+        from another process) get one winner and one loud FileExistsError
+        instead of a silently clobbered manifest."""
         path = self._manifest_path(snap.version)
-        if os.path.exists(path):
-            raise FileExistsError(f"version {snap.version} already committed")
-        tmp = path + f".tmp.{os.getpid()}"
+        tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as f:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise FileExistsError(f"version {snap.version} already committed") from None
+        finally:
+            os.remove(tmp)
         self._snap_cache[snap.version] = snap
 
     # ---------- schema / buckets ----------
@@ -276,18 +284,22 @@ class LakeTable:
             return spark.createDataFrame([], read_schema)
         return spark.read.schema(read_schema).parquet(*files)
 
-    def _resolve(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+    def _resolve(
+        self, df: DataFrame, key_cols: list[str], keep_tombstones: bool = False
+    ) -> DataFrame:
         """Merge-on-read LWW resolution: latest `_lsn` per key wins; drop
-        tombstones. A key's segments all live in one bucket, so the window
-        shuffle is bucket-local data, never cross-key."""
+        tombstones (`keep_tombstones=True` keeps a winning tombstone row —
+        the compaction path uses it to preserve delete ordering against
+        redelivered stale upserts). A key's segments all live in one
+        bucket, so the window shuffle is bucket-local data, never
+        cross-key."""
         from pyspark.sql import Window
 
         w = Window.partitionBy(*key_cols).orderBy(F.col(LSN_COL).desc())
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & ~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .drop("__rn")
-        )
+        keep = F.col("__rn") == 1
+        if not keep_tombstones:
+            keep = keep & ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        return df.withColumn("__rn", F.row_number().over(w)).filter(keep).drop("__rn")
 
     def read(
         self,
@@ -310,7 +322,14 @@ class LakeTable:
         clean = [b for b in sel if not snap.dirty.get(b)]
         parts = []
         if clean:
-            parts.append(self._read_raw(spark, snap, clean))
+            # clean (compacted) buckets are LWW-resolved but MAY carry
+            # retained tombstones (compact(retain_tombstones=True)) — a
+            # cheap codegen filter, no window needed
+            parts.append(
+                self._read_raw(spark, snap, clean).filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+            )
         if dirty:
             parts.append(self._resolve(self._read_raw(spark, snap, dirty), snap.key_cols))
         if not parts:
@@ -396,7 +415,14 @@ class LakeTable:
     def tag_version(self, tag: str, version: int | None = None) -> int:
         """Create a tagged (semver) alias version — a metadata-only commit,
         mirroring the reference's dataset version registration
-        (/root/reference/src/datachain/dataset.py:419-448)."""
+        (/root/reference/src/datachain/dataset.py:419-448). Serialized
+        under the commit lock like every other commit: a tag racing a
+        concurrent apply/async-compaction commit must not both read the
+        same HEAD and claim the same version number."""
+        with self._commit_lock:
+            return self._tag_version_locked(tag, version)
+
+    def _tag_version_locked(self, tag: str, version: int | None = None) -> int:
         src = self.snapshot(version)
         snap = Snapshot(
             version=self.current_version() + 1,
@@ -421,21 +447,39 @@ class LakeTable:
         max_segments: int = 8,
         files_per_bucket: int = 1,
         max_buckets: int | None = None,
+        retain_tombstones: bool = True,
     ) -> int | None:
         """Rewrite buckets with more than `max_segments` segments into
-        resolved (LWW, tombstone-free) segments. `max_buckets` staggers the
-        work — only the worst offenders per call — so a steady append
-        workload (every batch touches every bucket) pays a smooth, bounded
-        compaction tax per batch instead of a periodic full-table rewrite.
-        Parallel over buckets (one Spark job). Returns the new version, or
-        None if nothing needed compaction."""
+        resolved (LWW) segments. `max_buckets` staggers the work — only the
+        worst offenders per call — so a steady append workload (every batch
+        touches every bucket) pays a smooth, bounded compaction tax per
+        batch instead of a periodic full-table rewrite. Parallel over
+        buckets (one Spark job). Returns the new version, or None if
+        nothing needed compaction.
+
+        `retain_tombstones=True` (default) keeps each deleted key's WINNING
+        tombstone row (`_deleted`, `_lsn`) in the compacted output instead
+        of erasing it: under unordered delivery a redelivered stale upsert
+        (lsn below the delete) appended AFTER compaction must still lose
+        LWW to the delete — erasing the tombstone would resurrect the key
+        (Cassandra keeps tombstones for gc_grace for the same reason).
+        Reads filter retained tombstones with a codegen predicate, so
+        clean-bucket scans stay window-free. Pass False only when the
+        writer guarantees no event at-or-below the bucket watermark can
+        ever be appended (e.g. the `lsn_ordered=True` replay path, whose
+        per-bucket high-watermark filter drops redeliveries pre-write) —
+        then tombstones are garbage the moment they are compacted."""
         snap = self.snapshot()
         todo = [b for b, fl in snap.buckets.items() if len(fl) > max_segments]
         if not todo:
             return None
         if max_buckets is not None and len(todo) > max_buckets:
             todo = sorted(todo, key=lambda b: -len(snap.buckets[b]))[:max_buckets]
-        resolved = self._resolve(self._read_raw(spark, snap, todo), snap.key_cols)
+        resolved = self._resolve(
+            self._read_raw(spark, snap, todo),
+            snap.key_cols,
+            keep_tombstones=retain_tombstones,
+        )
         resolved = resolved.withColumn("bucket", self.bucket_expr())
         out_dir = self.data_dir(f"compact={snap.version + 1}")
         n_parts = max(1, len(todo) * files_per_bucket)
@@ -472,6 +516,7 @@ class LakeTable:
         max_segments: int = 8,
         files_per_bucket: int = 1,
         max_buckets: int | None = None,
+        retain_tombstones: bool = True,
     ) -> bool:
         """Submit one compact() pass to the table's background worker and
         return immediately — the batch-apply loop stops paying the
@@ -495,7 +540,8 @@ class LakeTable:
                 max_workers=1, thread_name_prefix=f"compact-{os.path.basename(self.root)}"
             )
         self._compact_future = self._compact_pool.submit(
-            self.compact, spark, max_segments, files_per_bucket, max_buckets
+            self.compact, spark, max_segments, files_per_bucket, max_buckets,
+            retain_tombstones,
         )
         return True
 
@@ -580,6 +626,79 @@ class LakeTable:
                 )
             )
         return spark.createDataFrame(rows, schema)
+
+    def remove_orphans(self, older_than: float = 3600.0) -> int:
+        """Vacuum data files referenced by NO version manifest — the
+        Iceberg `remove_orphan_files` analog. A crash after a segment or
+        compaction write but before its manifest commit leaves a complete
+        `job=*/batch=*` or `compact=*` directory that no snapshot
+        references; `expire_versions` never touches those (it only deletes
+        files referenced by dropped versions), so without this they
+        accumulate forever.
+
+        The unit of vacuuming is a WRITE UNIT directory (one
+        `data/job=<j>/batch=<b>` segment dir or one `data/compact=<v>`
+        dir): a unit is orphaned iff no file under it appears in any
+        retained manifest. Units whose newest file is younger than
+        `older_than` seconds are kept — they may belong to an in-flight
+        write racing this vacuum (same safety window as Iceberg's
+        `older_than`). Exception: an uncommitted segment dir that the
+        crash-recovery fast path could still legitimately reuse
+        (cdc/apply.py reuses a fully-written `job=/batch=` dir whose
+        batch is NOT in the ledger) is also deleted once past the window —
+        the retry recomputes it, which is always correct.
+
+        Returns the number of files removed."""
+        import shutil
+
+        vs = self.versions()
+        live = {
+            p
+            for v in vs
+            for fl in self.snapshot(v).buckets.values()
+            for p in fl
+        }
+        cutoff = time.time() - older_than
+        units: list[str] = []
+        data_root = self.data_dir()
+        for entry in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            full = os.path.join(data_root, entry)
+            if not os.path.isdir(full):
+                continue
+            if entry.startswith("compact="):
+                units.append(full)
+            elif entry.startswith("job="):
+                units.extend(
+                    os.path.join(full, b)
+                    for b in sorted(os.listdir(full))
+                    if os.path.isdir(os.path.join(full, b))
+                )
+        removed = 0
+        for unit in units:
+            files = [
+                os.path.join(dp, fn)
+                for dp, _, fns in os.walk(unit)
+                for fn in fns
+            ]
+            if any(os.path.relpath(f, self.root) in live for f in files):
+                continue  # unit has committed data — never touch it
+            try:
+                newest = max((os.path.getmtime(f) for f in files), default=os.path.getmtime(unit))
+            except FileNotFoundError:  # pragma: no cover - concurrent cleanup
+                continue
+            if newest > cutoff:
+                continue  # possibly in-flight
+            shutil.rmtree(unit, ignore_errors=True)
+            removed += len(files)
+        # prune now-empty job= parents
+        for entry in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            full = os.path.join(data_root, entry)
+            if entry.startswith("job=") and os.path.isdir(full) and not os.listdir(full):
+                try:
+                    os.rmdir(full)
+                except OSError:  # pragma: no cover
+                    pass
+        return removed
 
     def expire_versions(self, keep_last: int = 10) -> int:
         """Vacuum: drop manifests (and data files referenced by no kept
