@@ -559,6 +559,42 @@ def prefetch_file_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+def pattern_uri_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_storage with the glob pattern EMBEDDED IN THE URI — brace
+    alternation included (reference storage_pattern.py:35-118 split +
+    expand; sources/pattern.py): the base is walked once, the filename
+    prunes the listing, the full pattern filters via one codegen rlike.
+    Oracle: DuckDB read_blob over the two expanded globs."""
+    from datachain_spark.sources.storage import read_storage
+
+    files = read_storage(spark, sf_dir + "/*{uments,ddings}.parquet", type="meta")
+    return files.select(
+        F.element_at(F.split(F.col("file.path"), "/"), -1).alias("name"),
+        F.col("file.size").alias("size"),
+    ).orderBy("name")
+
+
+def listings_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listings() over the persistent crawl cache (reference
+    lib/dc/listings.py:1-147): two cached crawls of the sf dir enumerate
+    with their glob and object counts (counts come from parquet footers,
+    no Spark job). Oracle: DuckDB glob() counts of the same patterns."""
+    import shutil
+    import tempfile
+
+    from datachain_spark.sources.storage import listings, read_storage
+
+    cache = os.path.join(tempfile.gettempdir(), "dc_spark_listings_q")
+    shutil.rmtree(cache, ignore_errors=True)
+    read_storage(spark, sf_dir, type="meta", glob="*.parquet", cache_root=cache)
+    read_storage(spark, sf_dir, type="meta", glob="doc*.parquet", cache_root=cache)
+    return (
+        listings(spark, cache)
+        .select(F.col("glob").alias("pattern"), "num_objects")
+        .orderBy("pattern")
+    )
+
+
 def pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (reference has none; SURVEY §2.5 'available in Spark')."""
     ev = _t(spark, sf_dir, "events")
@@ -797,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_struct_project": nested_struct_project,
         "read_storage_listing": read_storage_listing,
         "prefetch_file_bytes": prefetch_file_bytes,
+        "pattern_uri_listing": pattern_uri_listing,
+        "listings_enumeration": listings_enumeration,
         "pivot_by_type": pivot_by_type,
         "cube_counts": cube_counts,
         "rollup_counts": rollup_counts,
@@ -1348,6 +1386,22 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(content) AS n_bytes
             FROM read_blob('/root/testdata/sf0.01/*.parquet')
             ORDER BY name
+        """,
+        "pattern_uri_listing": """
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size
+            FROM read_blob(['/root/testdata/sf0.01/*uments.parquet',
+                            '/root/testdata/sf0.01/*ddings.parquet'])
+            ORDER BY name
+        """,
+        "listings_enumeration": """
+            SELECT '*.parquet' AS pattern,
+                   (SELECT count(*)::BIGINT
+                    FROM glob('/root/testdata/sf0.01/*.parquet')) AS num_objects
+            UNION ALL
+            SELECT 'doc*.parquet',
+                   (SELECT count(*)::BIGINT
+                    FROM glob('/root/testdata/sf0.01/doc*.parquet'))
+            ORDER BY pattern
         """,
         "pivot_by_type": """
             SELECT user_id,

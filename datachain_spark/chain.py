@@ -603,7 +603,9 @@ class Chain:
         return self._evolve(self.df.persist())
 
     def _table(self, name: str) -> LakeTable:
-        return LakeTable(os.path.join(self.catalog_root, name))
+        from datachain_spark.namespaces import dataset_root
+
+        return LakeTable(dataset_root(self.catalog_root, name))
 
     def save(
         self,
@@ -620,8 +622,15 @@ class Chain:
         first key column), making the saved dataset a first-class CDC
         merge target and giving reads bucket pruning; without them (and
         with no pre-existing layout) the dataset is a single logical
-        bucket — file-level parallelism survives, pruning doesn't."""
-        root = os.path.join(self.catalog_root, name)
+        bucket — file-level parallelism survives, pruning doesn't.
+
+        `name` may be fully qualified (`namespace.project.name`, reference
+        lib/dc/datasets.py:29-52) — the namespace/project records are
+        created on demand (datachain_spark/namespaces.py)."""
+        from datachain_spark.namespaces import dataset_root, ensure_dataset_parent
+
+        ensure_dataset_parent(self.catalog_root, name)
+        root = dataset_root(self.catalog_root, name)
         df = self.df
         if not LakeTable.exists(root):
             table = LakeTable.create(
@@ -845,8 +854,11 @@ def read_dataset(
     """Open a saved dataset at a version: an int snapshot id, an exact
     semver tag ("v1.2.3" or "1.2.3"), or a SPECIFIER string like
     ">=1.0.0,<2" / "~=1.2" resolving to the HIGHEST matching tag
-    (reference lib/dc/datasets.py:27-224 accepts the same forms)."""
-    table = LakeTable(os.path.join(catalog_root, name))
+    (reference lib/dc/datasets.py:27-224 accepts the same forms).
+    `name` may be fully qualified (`namespace.project.name`)."""
+    from datachain_spark.namespaces import dataset_root
+
+    table = LakeTable(dataset_root(catalog_root, name))
     if isinstance(version, str) and any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
         version = _resolve_semver_spec(table, version)
     return Chain(table.read(spark, version=version), catalog_root=catalog_root)
@@ -901,12 +913,17 @@ def _resolve_semver_spec(table: LakeTable, spec: str) -> int:
     return best[1]
 
 
-def datasets(catalog_root: str = DEFAULT_CATALOG) -> list[str]:
-    if not os.path.isdir(catalog_root):
-        return []
-    return sorted(
-        d for d in os.listdir(catalog_root) if LakeTable.exists(os.path.join(catalog_root, d))
-    )
+def datasets(
+    catalog_root: str = DEFAULT_CATALOG,
+    namespace: str | None = None,
+    project: str | None = None,
+) -> list[str]:
+    """Registered dataset names, fully qualified where they live in a
+    namespace/project; optional namespace/project filters (reference
+    lib/dc/datasets.py:225-280 datasets() + its namespace filtering)."""
+    from datachain_spark.namespaces import list_dataset_names
+
+    return list_dataset_names(catalog_root, namespace=namespace, project=project)
 
 
 def read_database(spark: SparkSession, query: str, url: str, **props: str) -> Chain:

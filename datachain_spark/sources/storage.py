@@ -77,6 +77,14 @@ def read_storage(
 ) -> DataFrame:
     """List `uri` into File rows (reference read_storage semantics).
 
+    The URI may embed a glob pattern (`dir/**/x*.{csv,json}`) exactly like
+    the reference (lib/dc/storage.py:159, storage_pattern.py:35-118): the
+    patterned tail is split off, braces expand, only the base is walked
+    (non-recursively when the pattern stays in one segment), the final
+    component prunes the walk via pathGlobFilter where unambiguous, and
+    the full pattern is enforced as one codegen rlike on the relative
+    path — see sources/pattern.py.
+
     type='meta'   -> File struct only (no bytes are read: content is pruned)
     type='binary' -> File struct + `data` binary column
     type='text'   -> File struct + `text` string column (UTF-8 decode)
@@ -95,6 +103,29 @@ def read_storage(
     Cache-read semantics are a SNAPSHOT view: files deleted since the
     crawl drop out of the content join; files modified keep their cached
     etag but read live bytes."""
+    from datachain_spark.sources.pattern import (
+        expand_brace_pattern,
+        filename_pushdown,
+        globs_to_regex,
+        pattern_needs_recursion,
+        split_uri_pattern,
+    )
+
+    base, pattern = split_uri_pattern(uri)
+    if pattern is not None:
+        uri = base
+        variants = expand_brace_pattern(pattern)
+        # single-segment patterns match direct children only (reference
+        # should_use_recursion); the pattern filter below is exact either way
+        recursive = recursive and pattern_needs_recursion(pattern)
+        if glob is None:
+            glob = filename_pushdown(variants)
+        out = read_storage(
+            spark, base, type=type, recursive=recursive, glob=glob,
+            column=column, update=update, cache_root=cache_root,
+            ttl_seconds=ttl_seconds,
+        )
+        return out.filter(F.col(f"{column}.path").rlike(globs_to_regex(variants)))
     if cache_root is not None:
         listing = cached_listing(
             spark, uri, cache_root, ttl_seconds=ttl_seconds,
@@ -205,9 +236,80 @@ def cached_listing(
         os.makedirs(cdir, exist_ok=True)
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"uri": uri, "glob": glob, "created_at": time.time()}, fh)
+            json.dump(
+                {
+                    "uri": uri,
+                    "glob": glob,
+                    "recursive": recursive,
+                    "created_at": time.time(),
+                },
+                fh,
+            )
         os.replace(tmp, meta_path)
     return spark.read.parquet(data_dir)
+
+
+def listings(
+    spark: SparkSession,
+    cache_root: str,
+    ttl_seconds: int = 4 * 3600,
+) -> DataFrame:
+    """Enumerate the persistent listing cache as a DataFrame — the
+    reference's listings() surface (lib/dc/listings.py:1-147 returns
+    ListingInfo rows for saved `lst__` datasets, with an expiry flag).
+    One row per cached crawl: uri, glob, recursive, created_at, expired
+    (vs `ttl_seconds`), num_objects (from the cached parquet footers —
+    driver-side metadata, no Spark job)."""
+    import json
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType(), False),
+            T.StructField("glob", T.StringType(), True),
+            T.StructField("recursive", T.BooleanType(), True),
+            T.StructField("created_at", T.TimestampType(), False),
+            T.StructField("expired", T.BooleanType(), False),
+            T.StructField("num_objects", T.LongType(), True),
+        ]
+    )
+    rows = []
+    if os.path.isdir(cache_root):
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        for entry in sorted(os.listdir(cache_root)):
+            if not entry.startswith("lst__"):
+                continue
+            meta_path = os.path.join(cache_root, entry, "_listing_meta.json")
+            data_dir = os.path.join(cache_root, entry, "data")
+            if not os.path.exists(meta_path):
+                continue
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            n = None
+            if os.path.isdir(data_dir):
+                n = sum(
+                    pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+                    for f in os.listdir(data_dir)
+                    if f.endswith(".parquet")
+                )
+            rows.append(
+                (
+                    meta["uri"],
+                    meta.get("glob"),
+                    meta.get("recursive"),
+                    datetime.datetime.fromtimestamp(
+                        meta["created_at"], datetime.timezone.utc
+                    ),
+                    (time.time() - meta["created_at"]) >= ttl_seconds,
+                    n,
+                )
+            )
+    return spark.createDataFrame(rows, schema)
 
 
 def prefetch_files(
