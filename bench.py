@@ -62,11 +62,13 @@ HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_HIGH_CPUS", "8"))
 # in-run noise averages out, short enough that 3 lockstep turns at
 # local[1] stay bounded
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2400000"))
-# ~4.8x10^6 events for the 2->8 pair: local[8] replays the 2.4e6 feed in
-# ~8s, where per-batch fixed cost is still a visible share of the window;
-# doubling the feed keeps the local[2] turn bounded (~45s) while making
-# the local[8] side compute-bound like the mandated pair
-MID_EVENTS = int(os.environ.get("SPARK_GRAFT_MID_EVENTS", "4800000"))
+# ~9.6x10^6 events for the 2->8 pair (r5: doubled from 4.8e6 — the r4
+# artifact's 0.60-0.68 raw was substantially per-batch serial cost: the
+# measured driver gap is a CONSTANT ~2.4s/turn at both levels, 11% of a
+# 10s local[8] turn but 4% of the local[2] one; at 9.6e6 the local[8]
+# turn runs ~20s and per-turn raw moved to 0.69-0.74 — see BASELINE.md
+# r5 decomposition)
+MID_EVENTS = int(os.environ.get("SPARK_GRAFT_MID_EVENTS", "9600000"))
 # 1.2x10^7 events (batches of ~4x10^6) for the mandated 8->32 pair: at
 # these batch sizes per-batch driver cost S (~0.5-1.5s) is <5% of stage
 # time, matching the BASELINE.md Amdahl projection
@@ -300,9 +302,14 @@ def main() -> None:
             HIGH_CPUS, mid_dir, "--runs", "0", "--batches", "2",
             events=MID_EVENTS, gen=True,
         )
+        # FULL warm-ups for the 2->8 pair (r5): under the cheap batch-0
+        # warm-up the local[8] side was still ramping across all four
+        # timed turns (22.4s -> 17.7s measured) — the 8-thread level does
+        # have JIT/GC ramp at this feed size, and an unwarmed fast side
+        # biases the per-turn ratios low
         p28 = lockstep_pair(
             LOW_CPUS, HIGH_CPUS, mid_dir, MID_EVENTS, SMALL_RUNS,
-            warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1500,
+            warm_runs=2, warm_upto=None, scratch=scratch, timeout_s=2100,
         )
 
         # the mandated 8->32 pair on the big feed: full-replay warm-ups

@@ -95,6 +95,17 @@ def main() -> None:
     )
     ap.add_argument("--role", choices=["a", "b"], default=None)
     ap.add_argument(
+        "--stage-stats",
+        action="store_true",
+        help="enable the Spark UI and report a per-turn PER-STAGE-CLASS "
+        "decomposition (map/shuffle-write walls, reduce/shuffle-read "
+        "walls, driver-only gaps = turn wall minus the union of stage "
+        "windows, executor task-seconds) via the UI REST API — the "
+        "paired-bisection instrument for attributing an N->4N residual "
+        "to specific stages vs driver serial time. Adds a small listener "
+        "overhead; use the SAME flag at both levels of a pair.",
+    )
+    ap.add_argument(
         "--warm-runs",
         type=int,
         default=1,
@@ -121,6 +132,8 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64")),
         extra_conf={
             "spark.local.dir": local_dir,
+            **({"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"}
+               if args.stage_stats else {}),
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             # split size tuned to the feed's file sizes so the scan stage
             # has >= cores tasks at every level (the production knob: the
@@ -252,6 +265,7 @@ def main() -> None:
         _mark(f"warm_{args.role}")
 
     times = []
+    stage_turns: list[dict] = []
     for i in range(max(1, args.runs)):
         if args.lockstep:
             # strict alternation: a runs turn i after b's turn i-1 (or b's
@@ -263,9 +277,13 @@ def main() -> None:
             )
             _wait_for(gate)
         table_root = tempfile.mkdtemp(prefix=f"bench_cdc_{args.cpus}_", dir=scratch)
+        w0 = time.time()
         t0 = time.monotonic()
         replay_feed_dir(spark, table_root, args.feed, num_buckets=64)
-        times.append(time.monotonic() - t0)
+        dt = time.monotonic() - t0
+        times.append(dt)
+        if args.stage_stats:
+            stage_turns.append(_stage_decomposition(spark, w0, time.time(), dt))
         shutil.rmtree(table_root, ignore_errors=True)
         if args.lockstep:
             _mark(f"done_{args.role}_{i}")
@@ -283,7 +301,79 @@ def main() -> None:
     if cap_ratios:
         out["capacity_ratio_8_to_n"] = round(statistics.median(cap_ratios), 3)
         out["capacity_ratio_all"] = [round(c, 3) for c in cap_ratios]
+    if stage_turns:
+        out["stage_turns"] = stage_turns
     print(json.dumps(out))
+
+
+def _stage_decomposition(spark, w0: float, w1: float, wall: float) -> dict:
+    """Per-turn stage-class decomposition from the UI REST API: sum of
+    stage walls for map-side (shuffle-write) and reduce-side
+    (shuffle-read) stages, executor task-seconds per class, and the
+    DRIVER-ONLY GAP = turn wall minus the union of all stage windows
+    (the serial time when no Spark stage is running: job submission,
+    footer stats, commits). Stage windows from async compaction overlap
+    the next batch's stages — the union handles that; per-class sums
+    count each stage's own wall."""
+    import datetime
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = _json.load(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+
+    def ts(s: str) -> float:
+        return datetime.datetime.strptime(
+            s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+        ).timestamp()
+
+    wins = []
+    for st in stages:
+        if not st.get("submissionTime") or not st.get("completionTime"):
+            continue
+        a, b = ts(st["submissionTime"]), ts(st["completionTime"])
+        if a < w0 - 0.5 or b > w1 + 0.5:
+            continue
+        if st.get("shuffleWriteBytes", 0) > 0:
+            cls = "map"
+        elif st.get("shuffleReadBytes", 0) > 0:
+            cls = "reduce"
+        else:
+            cls = "other"
+        wins.append((a, b, cls, st.get("executorRunTime", 0) / 1000.0))
+
+    union = 0.0
+    cur_a = cur_b = None
+    for a, b, _, _ in sorted(wins):
+        if cur_b is None or a > cur_b:
+            if cur_b is not None:
+                union += cur_b - cur_a
+            cur_a, cur_b = a, b
+        else:
+            cur_b = max(cur_b, b)
+    if cur_b is not None:
+        union += cur_b - cur_a
+
+    by: dict[str, dict[str, float]] = {}
+    for a, b, cls, ex in wins:
+        d = by.setdefault(cls, {"wall": 0.0, "exec_sec": 0.0, "n": 0})
+        d["wall"] += b - a
+        d["exec_sec"] += ex
+        d["n"] += 1
+    return {
+        "wall": round(wall, 3),
+        "stage_active": round(union, 3),
+        "driver_gap": round(max(0.0, wall - union), 3),
+        "classes": {
+            k: {kk: round(vv, 3) for kk, vv in v.items()} for k, v in by.items()
+        },
+    }
 
 
 if __name__ == "__main__":
