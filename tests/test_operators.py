@@ -170,6 +170,40 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert uncapped > capped
 
 
+def test_ngram_jaccard_prefix_matches_index(spark):
+    """The PPJoin-style prefix-filtered generator must be EXACT: identical
+    (pair, jaccard) sets to the full inverted-index self-join, across
+    thresholds (prefix length depends on t) and with/without the hot-
+    shingle cap (the canonical order depends on doc frequency)."""
+    rows = [
+        (i, f"alpha beta gamma delta{i % 4} epsilon{i % 3} zeta{i} eta{i}")
+        for i in range(40)
+    ]
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight"),
+             (102, "the quick brown fox leaps over the lazy dog today"),
+             (103, "completely different text with no overlap at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nonempty = 0
+    for threshold in (0.2, 0.5, 0.8):
+        for max_df in (None, 5):
+            a = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    df, threshold=threshold, max_df=max_df, algo="prefix"
+                ).collect()
+            }
+            b = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    df, threshold=threshold, max_df=max_df, algo="index"
+                ).collect()
+            }
+            assert a == b, (threshold, max_df, a ^ b)
+            nonempty += bool(b)
+    assert nonempty >= 3  # the equivalence isn't vacuous: most combos pair up
+
+
 def test_connected_components_transitive(spark):
     """A-B + B-C chain collapses to one component; D-E separate; the
     propagation must close transitively (A and C never share a pair)."""
