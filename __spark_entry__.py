@@ -483,6 +483,74 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 A1.1): per-doc top
+    2-gram fraction and duplicate 5-gram fraction, occurrence-based. One
+    tagged explode, two partial-combining aggregations — hot grams
+    collapse map-side. Oracle recomputes both fractions from unnested
+    grams."""
+    from datachain_spark.operators.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_signals(docs)
+        .select(
+            "doc_id",
+            F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+            F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (word-level subset), pure codegen: word count,
+    mean word length, symbol-to-word ratio, alpha-word fraction, stopword
+    hits, and the conjunction gopher_pass. Oracle replays each rule in
+    DuckDB (234/500 docs pass at sf0.01 — the rule set discriminates)."""
+    from datachain_spark.operators.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        gopher_quality(docs)
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+            F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+            "stopword_hits",
+            "gopher_pass",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2): every
+    distinct line kept once across the corpus at its first (doc_id, pos)
+    occurrence, docs rebuilt from survivors. 'Lines' here are fixed
+    10-token windows (the synthetic docs are single-line). The skew-safe
+    shape: min-struct agg on the line hash (map-side combine), never a
+    row_number window over a viral line's million copies. Oracle
+    recomputes with a window over exploded lines (4 docs at sf0.01 lose
+    every line — the NULL-text edge is exercised)."""
+    from datachain_spark.operators.text import dedup_lines_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    lines = F.when(
+        nl >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ldf = docs.select("doc_id", lines.alias("lines"))
+    return dedup_lines_corpus(ldf, "lines").orderBy("doc_id")
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -826,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_kmeans": ivf_topk_kmeans,
         "pii_scrub": pii_scrub,
         "decontaminate_corpus": decontaminate_corpus,
+        "gopher_repetition": gopher_repetition,
+        "gopher_quality_filter": gopher_quality_filter,
+        "dedup_lines_c4": dedup_lines_c4,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
@@ -1496,6 +1567,85 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_kmeans": _ivf_topk_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "decontaminate_corpus": _decontaminate_oracle_sql(),
+        "gopher_repetition": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+              FROM tk, UNNEST(range(1, len(t))) AS u(i)
+              UNION ALL
+              SELECT doc_id, 5 AS n, array_to_string(t[i:i+4], ' ') AS g
+              FROM tk, UNNEST(range(1, len(t) - 3)) AS u(i)
+            ),
+            pg AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+            pd AS (SELECT doc_id, n, max(c) AS top_c, sum(c) AS total, count(*) AS nd
+                   FROM pg GROUP BY doc_id, n),
+            st AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN top_c / total END) AS tf,
+                     max(CASE WHEN n = 5 THEN 1 - nd / total END) AS duf
+              FROM pd GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(st.tf, 0), 6) AS top_ngram_frac,
+                   round(coalesce(st.duf, 0), 6) AS dup_ngram_frac
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+            ORDER BY d.doc_id
+        """,
+        "gopher_quality_filter": rf"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, n_words,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       / greatest(n_words, 1) AS mean_wl,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                       / greatest(n_words, 1) AS sym_ratio,
+                     len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                       / greatest(n_words, 1) AS alpha_frac,
+                     len(list_intersect(tk, [{_EN}])) AS stop_hits
+              FROM s
+            )
+            SELECT doc_id, n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(sym_ratio, 6) AS symbol_word_ratio,
+                   round(alpha_frac, 6) AS alpha_word_frac,
+                   stop_hits AS stopword_hits,
+                   (n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
+                    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id
+        """,
+        "dedup_lines_c4": r"""
+            WITH L0 AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            L AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[((i-1)*10+1):(i*10)], ' ') AS line
+              FROM L0, UNNEST(range(1, CAST(ceil(len(t)/10.0) AS BIGINT) + 1)) AS u(i)
+            ),
+            k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM L
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos)
+                     AS text_kept,
+                   count(*) FILTER (WHERE rn = 1) AS n_lines_kept,
+                   count(*) AS n_lines_orig
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
         "simhash_near_dup_pairs": _simhash_oracle_sql(),
         # Full CDC-replay oracle, self-contained: the feed is pure
         # arithmetic (datachain_spark/cdc/feed.py), so DuckDB regenerates

@@ -92,6 +92,172 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return df.withColumn(out_col or text_col, out)
 
 
+def gram_occurrences(text: Column, n: int) -> Column:
+    """Word n-gram array WITH duplicates (unlike dedup.shingles, which is
+    distinct) — repetition signals need occurrence counts. Documents with
+    fewer than n tokens yield an empty array."""
+    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, 'Scaling Language
+    Models', appendix A1.1 — public): per document,
+    - top_ngram_frac: occurrences of the MOST FREQUENT word `top_n`-gram
+      divided by all `top_n`-gram occurrences (Gopher's 'top n-gram
+      fraction', measured in gram occurrences rather than characters — the
+      occurrence form is exactly SQL-expressible for the oracle and ranks
+      documents identically for fixed n);
+    - dup_ngram_frac: 1 - distinct/total `dup_n`-gram occurrences
+      (Gopher's 'duplicate n-gram fraction' in the same occurrence form).
+    Docs with fewer than n tokens score 0.0 (nothing repeated).
+
+    Plan shape: ONE tagged explode (both gram sizes in a single pass) →
+    groupBy(id, n, gram) count → groupBy(id, n) max/sum/count — both
+    aggregations partial-combine map-side, so hot grams never skew a
+    reducer with raw rows; the result is two rows per doc, pivoted to
+    columns and broadcast-joined back onto the input. The reference has no
+    repetition operator; this is training-data-pipeline surface."""
+    t = F.col(text_col)
+    tagged = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(F.lit(top_n).alias("n"), gram_occurrences(t, top_n).alias("gs")),
+                F.struct(F.lit(dup_n).alias("n"), gram_occurrences(t, dup_n).alias("gs")),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.n").alias("n"), F.explode("e.gs").alias("g"))
+    per_gram = tagged.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    stats = per_doc.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == top_n, F.col("top_c") / F.col("total"))).alias(
+            "top_ngram_frac"
+        ),
+        F.max(
+            F.when(F.col("n") == dup_n, 1 - F.col("n_distinct") / F.col("total"))
+        ).alias("dup_ngram_frac"),
+    )
+    out = df.join(stats, id_col, "left")
+    return out.withColumns(
+        {
+            "top_ngram_frac": F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)),
+            "dup_ngram_frac": F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)),
+        }
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021, A1.1) — word-level rules only;
+# the line-level rules (bullet/ellipsis fractions) need real line structure
+# and live with dedup_lines_corpus's line model instead.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality rules (word-level subset), pure whole-stage-codegen:
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio ('#' or '...' occurrences per word) <= 0.1, >= 80% of words
+    contain an alphabetic character, and >= 2 distinct stopwords. Emits
+    each signal plus the conjunction `gopher_pass` so pipelines can both
+    filter and audit which rule fired."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = token_count(t)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / nw
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (hashes + ellipses) / nw
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / nw
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "symbol_word_ratio": symbol_ratio,
+            "alpha_word_frac": alpha_frac,
+            "stopword_hits": stop_hits,
+            "gopher_pass": (
+                n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+                & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+                & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+                & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+                & (stop_hits >= GOPHER_MIN_STOPWORDS)
+            ),
+        }
+    )
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    lines_col: str,
+    id_col: str = "doc_id",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """C4-style CORPUS-LEVEL line dedup (Raffel et al. 2020 §2.2 — public):
+    every distinct line is kept exactly once across the whole corpus, at
+    its first occurrence in (doc_id, position) order; later copies are
+    dropped and each document's text is rebuilt from its surviving lines.
+    Returns (id, text_kept, n_lines_kept, n_lines_orig).
+
+    Plan shape: posexplode → groupBy(line-hash).agg(min(struct(id,pos)))
+    — a partial-combining min-agg rather than a row_number window, so a
+    viral line repeated 10^6 times collapses map-side instead of landing
+    a million raw rows on one reducer — then an equi-join back on
+    (hash,id,pos) and one groupBy(id) rebuild. Lines join by xxhash64
+    (8-byte shuffle keys); the winner join compares id+pos too, so a hash
+    collision can only drop a colliding later line, never corrupt a doc."""
+    lines = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(F.col(lines_col)).alias("__pos", "__line")
+    ).withColumn("__h", F.xxhash64("__line"))
+    firsts = lines.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    ).select("__h", F.col("__w.__id").alias("__id"), F.col("__w.__pos").alias("__pos"))
+    kept = lines.join(firsts, ["__h", "__id", "__pos"])
+    orig = lines.groupBy("__id").agg(F.count("*").alias("n_lines_orig"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            join_sep,
+        ).alias("text_kept"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    # left join from orig: a doc whose EVERY line was claimed elsewhere
+    # still appears, with NULL text and 0 kept lines.
+    return (
+        orig.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "text_kept",
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            "n_lines_orig",
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -443,3 +443,71 @@ def test_lake_expire_versions(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         table.expire_versions(keep_last=0)
     assert table.read(spark).count() == n_before
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition fracs against hand-computed values: 'a b a b a b'
+    has 2-grams [ab, ba, ab, ba, ab] -> top 3/5; its two 5-grams are
+    distinct -> dup 0. A doc of one repeated token maxes both."""
+    from datachain_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x x x x x x x x"),  # 2-grams: 7x 'x x' -> top 1.0; 5-grams: 4 occ 1 distinct -> dup 0.75
+            (3, "one two three"),  # no 5-grams at all -> dup 0
+            (4, "q r"),  # 1 2-gram, no 5-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (round(r["top_ngram_frac"], 6), round(r["dup_ngram_frac"], 6))
+        for r in repetition_signals(df).collect()
+    }
+    assert got[1] == (0.6, 0.0)
+    assert got[2] == (1.0, 0.75)
+    assert got[3] == (round(1 / 2, 6), 0.0)
+    assert got[4] == (1.0, 0.0)
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule triggers independently: a clean 60-word doc passes;
+    short, symbol-heavy, non-alpha, and stopword-free docs fail."""
+    from datachain_spark.operators.text import gopher_quality
+
+    clean = "the quick brown fox jumps over a lazy dog and it is that good for " * 4
+    short = "the cat sat"
+    symbols = ("the word " + "# " * 30) * 4
+    numeric = "the of " + " ".join(str(i) for i in range(60))
+    df = spark.createDataFrame(
+        [(1, clean.strip()), (2, short), (3, symbols.strip()), (4, numeric)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["gopher_pass"] is False and got[2]["n_words"] == 3
+    assert got[3]["gopher_pass"] is False and got[3]["symbol_word_ratio"] > 0.1
+    assert got[4]["gopher_pass"] is False and got[4]["alpha_word_frac"] < 0.8
+
+
+def test_dedup_lines_corpus_first_occurrence_wins(spark):
+    """Line 'dup' appears in docs 1 (pos 0), 2 (pos 1) and twice in doc 3:
+    only doc 1's copy survives; doc 3 (all lines duplicated) stays with
+    NULL text and 0 kept; rebuild preserves in-doc order."""
+    from datachain_spark.operators.text import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, ["dup", "only-in-1"]),
+            (2, ["u2", "dup", "u2b"]),
+            (3, ["dup", "dup"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines_corpus(df, "lines").collect()}
+    assert got[1]["text_kept"] == "dup\nonly-in-1"
+    assert (got[1]["n_lines_kept"], got[1]["n_lines_orig"]) == (2, 2)
+    assert got[2]["text_kept"] == "u2\nu2b"
+    assert (got[2]["n_lines_kept"], got[2]["n_lines_orig"]) == (2, 3)
+    assert got[3]["text_kept"] is None
+    assert (got[3]["n_lines_kept"], got[3]["n_lines_orig"]) == (0, 2)
