@@ -913,6 +913,65 @@ def _resolve_semver_spec(table: LakeTable, spec: str) -> int:
     return best[1]
 
 
+class DatasetNotFoundError(KeyError):
+    """Raised by delete_dataset / move_dataset on a missing dataset
+    (reference src/datachain/error.py DatasetNotFoundError)."""
+
+
+def delete_dataset(
+    name: str,
+    catalog_root: str = DEFAULT_CATALOG,
+    version: int | str | None = None,
+    force: bool = False,
+) -> None:
+    """Remove one dataset version — the latest by default, or the given
+    snapshot id / semver tag / semver specifier — or, with `force=True`,
+    the whole dataset (reference lib/dc/datasets.py:307-383: version=None
+    deletes the latest version; force deletes every version). Dropping the
+    HEAD version rewinds the dataset to its parent; data files referenced
+    by surviving versions are never touched."""
+    import shutil
+
+    from datachain_spark.namespaces import dataset_root
+
+    root = dataset_root(catalog_root, name)
+    if not LakeTable.exists(root):
+        raise DatasetNotFoundError(f"dataset {name!r} not found under {catalog_root}")
+    if force:
+        shutil.rmtree(root)
+        return
+    table = LakeTable(root)
+    if version is None:
+        v = table.current_version()
+    elif isinstance(version, int):
+        v = version
+    elif any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
+        v = _resolve_semver_spec(table, version)
+    else:
+        v = table.resolve_tag(version)
+    table.drop_version(v)
+
+
+def move_dataset(src: str, dest: str, catalog_root: str = DEFAULT_CATALOG) -> None:
+    """Move/rename an ENTIRE dataset between namespaces and projects
+    (reference lib/dc/datasets.py:386-439): `src` stops existing, all its
+    versions and tags appear under `dest`. Both names may be fully
+    qualified (`ns.proj.name`); the destination project is created on
+    demand like save()'s. Atomic when source and destination share a
+    filesystem (one rename(2))."""
+    from datachain_spark.namespaces import dataset_root, ensure_dataset_parent
+
+    src_root = dataset_root(catalog_root, src)
+    if not LakeTable.exists(src_root):
+        raise DatasetNotFoundError(f"dataset {src!r} not found under {catalog_root}")
+    ensure_dataset_parent(catalog_root, dest)
+    dest_root = dataset_root(catalog_root, dest)
+    if os.path.exists(dest_root):
+        raise FileExistsError(f"dataset {dest!r} already exists under {catalog_root}")
+    os.makedirs(os.path.dirname(dest_root), exist_ok=True)
+    os.rename(src_root, dest_root)
+
+
 def datasets(
     catalog_root: str = DEFAULT_CATALOG,
     namespace: str | None = None,

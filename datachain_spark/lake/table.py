@@ -700,6 +700,41 @@ class LakeTable:
                     pass
         return removed
 
+    def drop_version(self, version: int) -> int:
+        """Remove ONE version's manifest plus any data files referenced by
+        no surviving version (the reference's delete-a-dataset-version,
+        lib/dc/datasets.py:307-383). Manifests are self-contained (each
+        snapshot lists its full bucket file set), so dropping a mid-chain
+        version never corrupts later ones; dropping HEAD rewinds the table
+        to its parent. The last remaining version cannot be dropped —
+        delete the dataset instead. Returns data files removed."""
+        with self._commit_lock:
+            vs = self.versions()
+            if version not in vs:
+                raise KeyError(f"version {version} not found in {self.root}")
+            if len(vs) == 1:
+                raise ValueError(
+                    "cannot drop the only version; use delete_dataset(force=True)"
+                )
+            live = {
+                p
+                for v in vs
+                if v != version
+                for fl in self.snapshot(v).buckets.values()
+                for p in fl
+            }
+            removed = 0
+            for fl in self.snapshot(version).buckets.values():
+                for p in fl:
+                    if p not in live:
+                        fp = os.path.join(self.root, p)
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                            removed += 1
+            os.remove(self._manifest_path(version))
+            self._snap_cache.pop(version, None)
+            return removed
+
     def expire_versions(self, keep_last: int = 10) -> int:
         """Vacuum: drop manifests (and data files referenced by no kept
         version) older than the last `keep_last` versions. `keep_last` must

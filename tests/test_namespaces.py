@@ -131,3 +131,90 @@ def test_listings_enumeration(spark, tmp_path):
     time.sleep(0.05)
     expired = listings(spark, cache, ttl_seconds=0).collect()
     assert all(r["expired"] for r in expired)
+
+
+def test_delete_dataset_version_and_force(spark, tmp_path):
+    """Reference delete_dataset semantics (lib/dc/datasets.py:307-383):
+    no version -> latest dropped (table rewinds to parent); explicit
+    semver tag -> that version dropped, files referenced by survivors
+    kept; force=True -> the dataset stops existing; missing -> raises."""
+    from datachain_spark.chain import DatasetNotFoundError
+    from datachain_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "catalog")
+    ch = dc.read_values(spark, id=[1, 2], v=["a", "b"])
+    ch.catalog_root = root
+    ch.save("dev.etl.ds", version="1.0.0")
+    ch2 = dc.read_values(spark, id=[3], v=["c"])
+    ch2.catalog_root = root
+    ch2.save("dev.etl.ds", version="1.1.0")
+
+    t = LakeTable(dataset_root(root, "dev.etl.ds"))
+    n_before = len(t.versions())
+    dc.delete_dataset("dev.etl.ds", catalog_root=root)  # drops latest
+    t = LakeTable(dataset_root(root, "dev.etl.ds"))
+    assert len(t.versions()) < n_before
+    got = dc.read_dataset(spark, "dev.etl.ds", catalog_root=root, version="1.0.0")
+    assert sorted(got.to_values("id")) == [1, 2]
+
+    dc.delete_dataset("dev.etl.ds", catalog_root=root, force=True)
+    with pytest.raises(DatasetNotFoundError):
+        dc.delete_dataset("dev.etl.ds", catalog_root=root)
+    with pytest.raises(DatasetNotFoundError):
+        dc.delete_dataset("never_existed", catalog_root=root)
+
+
+def test_delete_dataset_version_keeps_files_shared_with_survivors(spark, tmp_path):
+    """Dropping a mid-chain version must not remove data files a surviving
+    version still references: a tag alias shares its parent's files, so
+    dropping the parent leaves the alias fully readable; dropping a
+    version nothing shares really removes its files."""
+    from datachain_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "catalog")
+    ch = dc.read_values(spark, id=[1, 2], v=["a", "b"])
+    ch.catalog_root = root
+    ch.save("ds", version="1.0.0")
+    ch2 = dc.read_values(spark, id=[3], v=["c"])
+    ch2.catalog_root = root
+    ch2.save("ds", version="2.0.0")  # full-snapshot: replaces 1.0.0's files
+    t = LakeTable(dataset_root(root, "ds"))
+    t.tag_version("2.0.1")  # alias of HEAD — shares 2.0.0's data files
+
+    # drop the shared parent: alias must stay byte-identical
+    dc.delete_dataset("ds", catalog_root=root, version="2.0.0")
+    alias = dc.read_dataset(spark, "ds", catalog_root=root, version="2.0.1")
+    assert sorted(alias.to_values("id")) == [3]
+    with pytest.raises(KeyError):
+        dc.read_dataset(spark, "ds", catalog_root=root, version="2.0.0")
+
+    # drop the unshared old version: its files really go away
+    t = LakeTable(dataset_root(root, "ds"))
+    removed = t.drop_version(t.resolve_tag("1.0.0"))
+    assert removed >= 1
+    head = dc.read_dataset(spark, "ds", catalog_root=root)
+    assert sorted(head.to_values("id")) == [3]
+
+
+def test_move_dataset_across_namespaces(spark, tmp_path):
+    """Reference move_dataset (lib/dc/datasets.py:386-439): the whole
+    dataset (all versions + tags) moves; src stops existing; collision
+    and missing-src raise; dest project auto-creates."""
+    from datachain_spark.chain import DatasetNotFoundError
+
+    root = str(tmp_path / "catalog")
+    ch = dc.read_values(spark, id=[1, 2, 3], v=["a", "b", "c"])
+    ch.catalog_root = root
+    ch.save("dev.animals.cats", version="1.0.0")
+
+    dc.move_dataset("dev.animals.cats", "prod.animals.cats", catalog_root=root)
+    assert dc.datasets(root) == ["prod.animals.cats"]
+    got = dc.read_dataset(spark, "prod.animals.cats", catalog_root=root, version="1.0.0")
+    assert sorted(got.to_values("id")) == [1, 2, 3]
+    with pytest.raises(DatasetNotFoundError):
+        dc.move_dataset("dev.animals.cats", "elsewhere", catalog_root=root)
+
+    # collision: moving onto an existing dataset refuses
+    ch.save("flat_two")
+    with pytest.raises(FileExistsError):
+        dc.move_dataset("prod.animals.cats", "flat_two", catalog_root=root)
