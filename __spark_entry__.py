@@ -551,6 +551,35 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_corpus(ldf, "lines").orderBy("doc_id")
 
 
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard write + read (reference lib/webdataset.py,
+    lib/tar.py): documents become tar shards (one sample per doc, .txt +
+    .cls members, 50 samples/shard, byte-deterministic), read back
+    shard-parallel with samples grouped by stem — zero shuffle either
+    direction. Oracle: the same rows straight from the documents table —
+    the tar round-trip must be value-invisible."""
+    import hashlib
+    import tempfile
+
+    from datachain_spark.sources.tar import read_webdataset, to_webdataset
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"dc_spark_wds_{tag}")
+    src = docs.select(
+        (F.col("doc_id") / 50).cast("long").alias("shard"),
+        F.format_string("doc_%06d", F.col("doc_id")).alias("key"),
+        F.col("text").alias("txt"),
+        F.col("lang").alias("cls"),
+    )
+    to_webdataset(src, out, key_col="key", shard_col="shard", text_cols=["txt", "cls"]).collect()
+    return (
+        read_webdataset(spark, out, text_cols=["txt", "cls"])
+        .select("key", "txt", "cls")
+        .orderBy("key")
+    )
+
+
 def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no native one): each click
     event gets the most recent error event value for the same user at or
@@ -897,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": gopher_repetition,
         "gopher_quality_filter": gopher_quality_filter,
         "dedup_lines_c4": dedup_lines_c4,
+        "webdataset_roundtrip": webdataset_roundtrip,
         "q5_region_revenue": q5_region_revenue,
         "salted_agg_by_user": salted_agg_by_user,
         "document_pipeline": document_pipeline,
@@ -1567,6 +1597,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_kmeans": _ivf_topk_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "decontaminate_corpus": _decontaminate_oracle_sql(),
+        "webdataset_roundtrip": """
+            SELECT printf('doc_%06d', doc_id) AS key, text AS txt, lang AS cls
+            FROM documents WHERE doc_id < 200 ORDER BY key
+        """,
         "gopher_repetition": r"""
             WITH tk AS (
               SELECT doc_id,
