@@ -19,8 +19,12 @@ row-wise Python in the relational path. A user of the reference maps:
     .save(name, version)        -> versioned LakeTable dataset + semver tag
                                    (reference catalog.py:796-890)
 
-Settings like `parallel=N`/`workers=N` (reference query/dispatch.py) do
-not exist: Spark executors are the dispatcher.
+`.settings(...)` (reference lib/settings.py) is supported with
+Spark-mapped semantics — see the Settings dataclass: `parallel` sizes
+UDF-stage repartitioning, `namespace`/`project` qualify bare dataset
+names, `batch_size` defaults checkpoint chunking; the dispatcher knobs
+the reference's multiprocess pool needed (workers/min_task_size/cache)
+are validated but advisory, because Spark executors are the dispatcher.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from __future__ import annotations
 import os
 import re
 from collections.abc import Callable, Iterable, Sequence
+from dataclasses import dataclass, fields
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -83,6 +88,83 @@ def _cell_value(cell: dict, name: str, names: Sequence[str]):
     return None
 
 
+class SettingsError(ValueError):
+    """Invalid .settings() argument (reference lib/settings.py:10-12)."""
+
+
+@dataclass(frozen=True)
+class Settings:
+    """Chain execution settings (reference lib/settings.py Settings;
+    datachain.py .settings()). On Spark the cluster and Catalyst own most
+    of what the reference's multiprocess dispatcher needed knobs for, so
+    the semantics map as:
+
+    - parallel:   repartition width applied to the input of map/gen/
+                  map_batches UDF stages (the reference's worker-process
+                  count; here it sizes the Arrow task wave).
+    - namespace/  default qualifiers for BARE dataset names in save()/
+      project:    read_dataset() — `settings(namespace="dev",
+                  project="etl").save("x")` lands at dev.etl.x
+                  (reference Settings.namespace/project).
+    - batch_size: default row-chunk size for checkpointed UDF commits
+                  (the reference's insert batch; our checkpoint_rows).
+    - cache / prefetch / workers / min_task_size: recorded and validated
+      (reference types enforced) but advisory here — executor-local file
+      caching and task sizing belong to Spark's scheduler; prefetch depth
+      is honored by sources/storage.prefetch_files when the caller wires
+      file fetching explicitly.
+    """
+
+    cache: bool | None = None
+    prefetch: int | None = None
+    parallel: int | None = None
+    workers: int | None = None
+    namespace: str | None = None
+    project: str | None = None
+    min_task_size: int | None = None
+    batch_size: int | None = None
+
+    def __post_init__(self) -> None:
+        for fld, typ in (
+            ("cache", bool),
+            ("prefetch", int),
+            ("parallel", int),
+            ("workers", int),
+            ("min_task_size", int),
+            ("batch_size", int),
+        ):
+            v = getattr(self, fld)
+            if v is not None and (not isinstance(v, typ) or (typ is int and isinstance(v, bool))):
+                raise SettingsError(
+                    f"'{fld}' argument must be {typ.__name__}"
+                    f" while {v.__class__.__name__} was given"
+                )
+        for fld in ("namespace", "project"):
+            v = getattr(self, fld)
+            if v is not None and not isinstance(v, str):
+                raise SettingsError(
+                    f"'{fld}' argument must be str while {v.__class__.__name__} was given"
+                )
+
+    def merged(self, **kw) -> "Settings":
+        cur = {f.name: getattr(self, f.name) for f in fields(self)}
+        for k, v in kw.items():
+            if k not in cur:
+                raise SettingsError(f"unknown setting {k!r}")
+            cur[k] = v
+        return Settings(**cur)
+
+    def qualify(self, name: str) -> str:
+        """Apply default namespace/project to a BARE dataset name."""
+        if "." in name or not (self.namespace or self.project):
+            return name
+        from datachain_spark.namespaces import DEFAULT_NAMESPACE, DEFAULT_PROJECT
+
+        ns = self.namespace or DEFAULT_NAMESPACE
+        proj = self.project or DEFAULT_PROJECT
+        return f"{ns}.{proj}.{name}"
+
+
 class DeltaDisabledError(RuntimeError):
     """Raised for order/set-sensitive operators on a delta-enabled chain —
     incremental recompute over a diff is incorrect through aggregations,
@@ -120,14 +202,38 @@ class Chain:
         catalog_root: str = DEFAULT_CATALOG,
         delta: bool = False,
         delta_unsafe: bool = False,
+        settings: Settings | None = None,
     ):
         self.df = df
         self.catalog_root = catalog_root
         self._delta = delta
         self._delta_unsafe = delta_unsafe
+        self._settings = settings or Settings()
 
     def _evolve(self, df: DataFrame) -> "Chain":
-        return Chain(df, self.catalog_root, delta=self._delta, delta_unsafe=self._delta_unsafe)
+        return Chain(
+            df,
+            self.catalog_root,
+            delta=self._delta,
+            delta_unsafe=self._delta_unsafe,
+            settings=self._settings,
+        )
+
+    def settings(self, **kw) -> "Chain":
+        """Attach execution settings (reference datachain.py .settings(),
+        lib/settings.py): cache, prefetch, parallel, workers, namespace,
+        project, min_task_size, batch_size — see Settings for how each
+        maps onto Spark. Settings propagate through every downstream op."""
+        out = self._evolve(self.df)
+        out._settings = self._settings.merged(**kw)
+        return out
+
+    def _udf_input(self) -> DataFrame:
+        """UDF-stage input with settings applied: `parallel=n` sizes the
+        Arrow task wave (the reference's worker count) via repartition."""
+        if self._settings.parallel:
+            return self.df.repartition(self._settings.parallel)
+        return self.df
 
     # ---------- delta guard (reference delta.py:27-45) ----------
     def as_delta(self, delta_unsafe: bool = False) -> "Chain":
@@ -362,7 +468,7 @@ class Chain:
         params: list[str] | None = None,
         checkpoint: str | None = None,
         checkpoint_on: Sequence[str] | None = None,
-        checkpoint_rows: int = 200_000,
+        checkpoint_rows: int | None = None,
         **signal_map: Callable[..., Any],
     ) -> "Chain":
         """1:1 mapper. `fn` is called per row with `params` values (like the
@@ -448,7 +554,7 @@ class Chain:
                     checkpoint,
                     use,
                     key_cols=list(checkpoint_on) if checkpoint_on else None,
-                    rows_per_commit=checkpoint_rows,
+                    rows_per_commit=checkpoint_rows or self._settings.batch_size or 200_000,
                     is_gen=False,
                 )
             )
@@ -485,7 +591,7 @@ class Chain:
                     # position, not name)
                     yield pdf[[f.name for f in out_schema.fields]]
 
-        return self._evolve(self.df.mapInPandas(run, out_schema))
+        return self._evolve(self._udf_input().mapInPandas(run, out_schema))
 
     def map_batches(self, fn: Callable, output: dict[str, Any] | None = None) -> "Chain":
         """N:N pandas-DataFrame-in/out (reference BatchMapper,
@@ -500,7 +606,7 @@ class Chain:
             for pdf in batches:
                 yield fn(pdf)
 
-        return self._evolve(self.df.mapInPandas(run, out_schema))
+        return self._evolve(self._udf_input().mapInPandas(run, out_schema))
 
     def gen(
         self,
@@ -509,7 +615,7 @@ class Chain:
         params: list[str] | None = None,
         checkpoint: str | None = None,
         checkpoint_on: Sequence[str] | None = None,
-        checkpoint_rows: int = 200_000,
+        checkpoint_rows: int | None = None,
     ) -> "Chain":
         """1:N generator (reference Generator, lib/udf.py:541-597): `fn`
         yields output tuples (or model instances) per input row; runs over
@@ -557,7 +663,7 @@ class Chain:
                     checkpoint,
                     use,
                     key_cols=list(checkpoint_on) if checkpoint_on else None,
-                    rows_per_commit=checkpoint_rows,
+                    rows_per_commit=checkpoint_rows or self._settings.batch_size or 200_000,
                     is_gen=True,
                 )
             )
@@ -573,7 +679,7 @@ class Chain:
                         rows.extend(_gen_cells(proc, row))
                     yield pd.DataFrame(rows, columns=out_names)
 
-        return self._evolve(self.df.mapInPandas(run, out_schema))
+        return self._evolve(self._udf_input().mapInPandas(run, out_schema))
 
     def agg(
         self,
@@ -629,6 +735,7 @@ class Chain:
         created on demand (datachain_spark/namespaces.py)."""
         from datachain_spark.namespaces import dataset_root, ensure_dataset_parent
 
+        name = self._settings.qualify(name)
         ensure_dataset_parent(self.catalog_root, name)
         root = dataset_root(self.catalog_root, name)
         df = self.df
@@ -850,13 +957,19 @@ def read_dataset(
     name: str,
     version: int | str | None = None,
     catalog_root: str = DEFAULT_CATALOG,
+    namespace: str | None = None,
+    project: str | None = None,
 ) -> Chain:
     """Open a saved dataset at a version: an int snapshot id, an exact
     semver tag ("v1.2.3" or "1.2.3"), or a SPECIFIER string like
     ">=1.0.0,<2" / "~=1.2" resolving to the HIGHEST matching tag
     (reference lib/dc/datasets.py:27-224 accepts the same forms).
-    `name` may be fully qualified (`namespace.project.name`)."""
+    `name` may be fully qualified (`namespace.project.name`), or bare
+    with explicit `namespace=`/`project=` (same reference signature)."""
     from datachain_spark.namespaces import dataset_root
+
+    if namespace or project:
+        name = Settings(namespace=namespace, project=project).qualify(name)
 
     table = LakeTable(dataset_root(catalog_root, name))
     if isinstance(version, str) and any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
