@@ -154,6 +154,30 @@ class _NamespaceLock:
                     os.rename(self.path, aside)
                 except FileNotFoundError:
                     continue  # lost the CAS — retry against the new holder
+                # the rename applies to whatever file is there NOW, which
+                # may be a FRESH lock claimed since we read the dead owner
+                # (observed as a flaky two-holders test): re-verify the
+                # renamed file. A live pid means we stole a live lock —
+                # restore it by link (same inode, holder unaffected) and
+                # refuse. Residual window: a third contender claiming
+                # between our rename and the restore link orphans the
+                # restored holder — three live racers inside microseconds,
+                # accepted for a best-effort guard (documented).
+                try:
+                    with open(aside) as fh:
+                        owner2 = int(fh.read().strip() or "-1")
+                except (OSError, ValueError):
+                    owner2 = -1
+                if owner2 > 0 and owner2 != os.getpid() and self._alive(owner2):
+                    try:
+                        os.link(aside, self.path)
+                    except FileExistsError:
+                        pass
+                    os.remove(aside)
+                    raise CheckpointLockedError(
+                        f"checkpoint namespace is being resumed by live pid "
+                        f"{owner2} ({self.path}); lost the takeover race"
+                    ) from None
                 os.remove(aside)
             raise CheckpointLockedError(f"could not acquire {self.path}")
         finally:
