@@ -894,6 +894,39 @@ def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bbox_convert_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar bounding-box format conversion + IoU (functions/bbox.py;
+    scalar parity with reference model/utils.py:23-191): deterministic COCO
+    boxes derived from order keys, converted coco->voc / coco->yolo /
+    coco->albumentations at img_size (1000, 600) with codegen-only
+    arithmetic, plus the IoU of each box against itself shifted by +10 px.
+    No UDF anywhere — the whole query is one whole-stage-codegen project."""
+    from datachain_spark.functions.bbox import bbox_convert, bbox_iou
+
+    k = F.col("o_orderkey").cast("double")
+    coco = F.array(k % 500, (k * 7) % 300, k % 97 + 1, k % 53 + 1)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20000)
+        .select("o_orderkey", coco.alias("coco"))
+    )
+    voc = bbox_convert(F.col("coco"), "coco", "voc")
+    yolo = bbox_convert(F.col("coco"), "coco", "yolo", 1000, 600)
+    alb = bbox_convert(F.col("coco"), "coco", "albumentations", 1000, 600)
+    shifted = F.array(voc[0] + 10.0, voc[1] + 10.0, voc[2] + 10.0, voc[3] + 10.0)
+    return df.select(
+        "o_orderkey",
+        voc[2].alias("voc_x2"),
+        yolo[0].alias("yolo_cx"),
+        yolo[1].alias("yolo_cy"),
+        yolo[2].alias("yolo_w"),
+        yolo[3].alias("yolo_h"),
+        alb[0].alias("alb_x1"),
+        alb[3].alias("alb_y2"),
+        F.round(bbox_iou(voc, shifted), 6).alias("iou"),
+    ).orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -944,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_scalar_funcs": string_scalar_funcs,
         "numeric_bit_aggs": numeric_bit_aggs,
         "exists_semi": exists_semi,
+        "bbox_convert_formats": bbox_convert_formats,
     }
 
 
@@ -1588,6 +1622,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
             ORDER BY o_orderkey
+        """,
+        "bbox_convert_formats": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 500 AS DOUBLE) AS x1,
+                     CAST((o_orderkey * 7) % 300 AS DOUBLE) AS y1,
+                     CAST(o_orderkey % 97 + 1 AS DOUBLE) AS w,
+                     CAST(o_orderkey % 53 + 1 AS DOUBLE) AS h
+              FROM orders WHERE o_orderkey < 20000
+            )
+            SELECT o_orderkey,
+                   round(x1 + w, 4) AS voc_x2,
+                   round((x1 + x1 + w) / 2 / 1000, 4) AS yolo_cx,
+                   round((y1 + y1 + h) / 2 / 600, 4) AS yolo_cy,
+                   round(w / 1000, 4) AS yolo_w,
+                   round(h / 600, 4) AS yolo_h,
+                   round(x1 / 1000, 4) AS alb_x1,
+                   round((y1 + h) / 600, 4) AS alb_y2,
+                   round(CASE WHEN w > 10 AND h > 10
+                         THEN (w - 10) * (h - 10)
+                              / (2 * w * h - (w - 10) * (h - 10))
+                         ELSE 0.0 END, 6) AS iou
+            FROM b ORDER BY o_orderkey
         """,
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
