@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -927,6 +928,80 @@ def bbox_convert_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def audio_fragment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary audio plumbing (operators/media.py; reference
+    lib/audio.py:104-164): synthesize a REAL deterministic WAV per event id
+    (encode_wav), cut [0.05s, 0.05s + k*10ms) with the Arrow-batched
+    extract_audio_fragments operator, then re-decode the fragment bytes with
+    the real WAV parser. The oracle recomputes every number — sample count,
+    byte length, mean |amplitude| — arithmetically from the waveform
+    formula, so a single wrong byte in the container or PCM math fails the
+    hash. Three chained mapInPandas stages, zero shuffles."""
+    import pandas as pd
+
+    from datachain_spark.operators.media import extract_audio_fragments
+    from datachain_spark.operators.multimodal import encode_wav, parse_wav
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") < 250)
+        .select(
+            "event_id",
+            # 1/16-second units are exact binary fractions: every time value,
+            # subtraction, and *8000 below is exact in IEEE doubles, so the
+            # oracle's integer arithmetic matches without truncation hazards
+            F.lit(0.0625).alias("start"),
+            (F.lit(0.0625) + (F.col("event_id") % 7 + 1) * F.lit(0.0625)).alias(
+                "end"
+            ),
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_wav(int(e) % 500 + 100, sample_rate=8000, seed=int(e))
+                for e in pdf["event_id"]
+            ]
+            yield pdf
+
+    with_payload = base.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("start", T.DoubleType()),
+                T.StructField("end", T.DoubleType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    frags = extract_audio_fragments(with_payload)
+
+    def decode(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "frag_sr": pdf["frag_sr"],
+                    "frag_samples": pdf["frag_samples"],
+                    "frag_bytes": [len(b) for b in pdf["fragment"]],
+                    "mean_amp": [
+                        round(parse_wav(bytes(b))["mean_amp"], 6)
+                        for b in pdf["fragment"]
+                    ],
+                }
+            )
+            yield out
+
+    return frags.mapInPandas(
+        decode,
+        schema="event_id long, frag_sr long, frag_samples long, frag_bytes long, mean_amp double",
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -978,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_bit_aggs": numeric_bit_aggs,
         "exists_semi": exists_semi,
         "bbox_convert_formats": bbox_convert_formats,
+        "audio_fragment_pipeline": audio_fragment_pipeline,
     }
 
 
@@ -1645,6 +1721,32 @@ def oracle_sql() -> dict[str, str]:
                               / (2 * w * h - (w - 10) * (h - 10))
                          ELSE 0.0 END, 6) AS iou
             FROM b ORDER BY o_orderkey
+        """,
+        "audio_fragment_pipeline": """
+            -- mirrors encode_wav's PCM formula (multimodal.py:118-135):
+            -- sample i = (((seed*31 + i*7) % 2048) - 1024) * 16, 8 kHz mono
+            -- 16-bit; fragment = samples [500, 500+n), n = k*500 clipped to
+            -- the file end (times are exact sixteenths of a second); wav
+            -- bytes = 44-byte header + 2 bytes/sample
+            WITH b AS (
+              SELECT event_id,
+                     (event_id % 500 + 100) * 8 AS total_samples,
+                     (event_id % 7 + 1) * 500 AS want
+              FROM events WHERE event_id < 250
+            ),
+            f AS (
+              SELECT event_id,
+                     LEAST(want, total_samples - 500) AS frag_n
+              FROM b
+            )
+            SELECT event_id,
+                   8000 AS frag_sr,
+                   frag_n AS frag_samples,
+                   44 + 2 * frag_n AS frag_bytes,
+                   round(1.0 * list_sum(list_transform(range(500, 500 + frag_n),
+                         i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
+                         / frag_n, 6) AS mean_amp
+            FROM f ORDER BY event_id
         """,
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

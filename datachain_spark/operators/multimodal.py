@@ -223,8 +223,6 @@ def encode_avi(
     pixel content derived from `seed` — any AVI demuxer opens it."""
     row_raw = width * 3
     pad = (-row_raw) % 4
-    stride = row_raw + pad
-    frame_size = stride * height
     frames = []
     for f in range(n_frames):
         rows = bytearray()
@@ -234,6 +232,17 @@ def encode_avi(
                     rows.append((seed * 31 + f * 17 + x * 7 + y * 13 + c * 101) % 256)
             rows.extend(b"\x00" * pad)
         frames.append(bytes(rows))
+    return mux_avi(frames, width, height, fps)
+
+
+def mux_avi(frames: list[bytes], width: int, height: int, fps: int) -> bytes:
+    """Mux raw bottom-up 24-bit DIB frames into a RIFF AVI container —
+    the re-encode half of demux_avi_frames (used by save_video_fragment)."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    frame_size = stride * height
+    n_frames = len(frames)
 
     # BITMAPINFOHEADER for the DIB stream format
     strf = struct.pack(
