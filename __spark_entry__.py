@@ -1002,6 +1002,44 @@ def audio_fragment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def read_meta_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-from-sample metadata read (sources/meta.py; reference
+    meta_formats.py:136-224): write deterministic JSONL files, infer the
+    nested schema from the first line, parse with Spark's NATIVE json
+    reader (typed long/double/array<struct> columns), explode the item
+    arrays and aggregate. The oracle recomputes everything from range() —
+    a type mis-inference (e.g. score as string) breaks the value hash."""
+    import json as _json
+
+    from datachain_spark.sources.meta import read_meta
+
+    d = tempfile.mkdtemp(prefix="readmeta_")
+    for fname, lo, hi in (("a.jsonl", 0, 100), ("b.jsonl", 100, 200)):
+        with open(os.path.join(d, fname), "w", encoding="utf-8") as fd:
+            for i in range(lo, hi):
+                fd.write(
+                    _json.dumps(
+                        {
+                            "user": f"u{i % 7}",
+                            "score": i / 4,  # exact binary fractions
+                            "items": [{"v": i}, {"v": 3 * i}],
+                        }
+                    )
+                    + "\n"
+                )
+    df = read_meta(spark, d, format="jsonl")
+    return (
+        df.select("user", "score", F.explode("items").alias("item"))
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("item.v").alias("sum_v"),
+            F.round(F.sum("score"), 2).alias("sum_score"),
+        )
+        .orderBy("user")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1054,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_semi": exists_semi,
         "bbox_convert_formats": bbox_convert_formats,
         "audio_fragment_pipeline": audio_fragment_pipeline,
+        "read_meta_jsonl": read_meta_jsonl,
     }
 
 
@@ -1747,6 +1786,17 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "read_meta_jsonl": """
+            -- mirrors read_meta_jsonl's generated files: row i has
+            -- user u{i%7}, score i/4, items [{v:i},{v:3i}] (each row
+            -- contributes 2 exploded items)
+            SELECT 'u' || CAST(i % 7 AS VARCHAR) AS user,
+                   2 * count(*) AS n_items,
+                   CAST(sum(4 * i) AS BIGINT) AS sum_v,
+                   round(sum(2 * (i / 4.0)), 2) AS sum_score
+            FROM range(0, 200) t(i)
+            GROUP BY 1 ORDER BY 1
         """,
         "minhash_near_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
