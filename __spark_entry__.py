@@ -1040,6 +1040,37 @@ def read_meta_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/url.py, codegen-only): every doc id
+    gets a deliberately messy URL variant — case noise, www., default
+    ports, trailing slashes, fragments, tracking params, shuffled query
+    order — with ids 2r/2r+1 naming the SAME resource r. Canonicalize,
+    group, count. The oracle doesn't reimplement the rules: it emits the
+    known ground-truth canonical per id, so any rule misfire (a kept
+    utm param, an unsorted query, a surviving port) splits a group and
+    fails the hash."""
+    from datachain_spark.functions.url import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    r = (F.col("doc_id") / 2).cast("long")
+    h = (r % 50).cast("string")
+    rs = r.cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.Example"), h, F.lit(".com:443/a/b"), rs, F.lit("/?b=2&a=1")))
+        .when(m == 1, F.concat(F.lit("HTTPS://example"), h, F.lit(".COM/a/b"), rs, F.lit("?a=1&b=2#frag")))
+        .when(m == 2, F.concat(F.lit("https://EXAMPLE"), h, F.lit(".com/a/b"), rs, F.lit("?b=2&utm_source=feed&a=1&gclid=xyz")))
+        .otherwise(F.concat(F.lit("https://www.example"), h, F.lit(".com:443/a/b"), rs, F.lit("/?a=1&ref=home&b=2")))
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", canonicalize_url("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("min_doc"))
+        .orderBy("canon_url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1093,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_convert_formats": bbox_convert_formats,
         "audio_fragment_pipeline": audio_fragment_pipeline,
         "read_meta_jsonl": read_meta_jsonl,
+        "url_canonical_dedup": url_canonical_dedup,
     }
 
 
@@ -1786,6 +1818,17 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "url_canonical_dedup": """
+            -- ground-truth canonical form of url_canonical_dedup's
+            -- synthesized variants: ids 2r and 2r+1 share resource r
+            SELECT 'https://example' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                   || '.com/a/b' || CAST(doc_id // 2 AS VARCHAR)
+                   || '?a=1&b=2' AS canon_url,
+                   count(*) AS n_dups,
+                   min(doc_id) AS min_doc
+            FROM documents WHERE doc_id < 2000
+            GROUP BY 1 ORDER BY 1
         """,
         "read_meta_jsonl": """
             -- mirrors read_meta_jsonl's generated files: row i has
