@@ -356,8 +356,36 @@ class Chain:
             self.df.filter(F.pmod(F.xxhash64(*cols), F.lit(total)) == index)
         )
 
-    def train_test_split(self, weights: Sequence[float], seed: int = 42) -> list["Chain"]:
-        return [self._evolve(d) for d in self.df.randomSplit(list(weights), seed=seed)]
+    def train_test_split(
+        self, weights: Sequence[float], seed: int | None = 42
+    ) -> list["Chain"]:
+        """Deterministic weighted split (reference toolkit/split.py:10-108):
+        a per-ROW hash rand, scaled by a seed-derived multiplier, bucketed
+        at cumulative-weight boundaries. Splits are disjoint, exhaustive,
+        and row-stable — unlike randomSplit, which samples per partition
+        and reshuffles rows between splits when partitioning changes."""
+        import random as _random
+
+        if len(weights) < 2:
+            raise ValueError("Weights should have at least two elements")
+        if any(w < 0 for w in weights):
+            raise ValueError("Weights should be non-negative")
+        resolution = 2**31 - 1  # reference RESOLUTION (split.py:6)
+        norm = [w / sum(weights) for w in weights]
+        rand = F.pmod(F.xxhash64(*self.df.columns), F.lit(resolution))
+        if seed is not None:
+            mult = _random.Random(seed).randrange(1, resolution)
+            rand = F.pmod(rand * F.lit(mult), F.lit(resolution))
+        bounds = [0]
+        cum = 0.0
+        for w in norm[:-1]:
+            cum += w
+            bounds.append(round(cum * resolution))
+        bounds.append(resolution)  # pmod yields [0, resolution), so hi-exclusive covers all
+        return [
+            self._evolve(self.df.filter((rand >= lo) & (rand < hi)))
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
 
     # ---------- set ops / joins (reference datachain.py:1734-2069) ----------
     def union(self, other: "Chain") -> "Chain":

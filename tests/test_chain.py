@@ -79,6 +79,34 @@ def test_distinct_sample_chunk_offset(ch):
     assert a.count() + b.count() == 5
 
 
+def test_train_test_split_deterministic(spark):
+    import pytest as _pytest
+
+    import datachain_spark as dc
+
+    ch = dc.read_values(spark, id=list(range(500)))
+    tr, te = ch.train_test_split([0.7, 0.3])
+    tr_ids, te_ids = set(tr.to_values("id")), set(te.to_values("id"))
+    # disjoint + exhaustive
+    assert not (tr_ids & te_ids) and len(tr_ids | te_ids) == 500
+    # roughly weighted
+    assert 280 <= len(tr_ids) <= 420
+    # row-stable: same rows land in the same split after a repartition
+    tr2, te2 = dc.Chain(ch.df.repartition(7)).train_test_split([0.7, 0.3])
+    assert set(tr2.to_values("id")) == tr_ids
+    # different seed -> different assignment; same seed -> identical
+    tr3, _ = ch.train_test_split([0.7, 0.3], seed=99)
+    assert set(tr3.to_values("id")) != tr_ids
+    a, b, c = ch.train_test_split([2, 1, 1])
+    assert len(set(a.to_values("id"))) + len(set(b.to_values("id"))) + len(
+        set(c.to_values("id"))
+    ) == 500
+    with _pytest.raises(ValueError, match="two elements"):
+        ch.train_test_split([1.0])
+    with _pytest.raises(ValueError, match="non-negative"):
+        ch.train_test_split([0.5, -0.5])
+
+
 def test_map_gen_agg_batch(ch):
     out = ch.map(lambda v: v + 1, output={"v_inc": float}, params=["v"])
     assert sorted(out.to_values("v_inc")) == [11.0, 21.0, 31.0, 41.0, 51.0]
