@@ -1071,6 +1071,29 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout (operators/text.pack_sequences):
+    lay documents end-to-end per language, cut 4096-token sequences, and
+    summarize each sequence (docs starting in it, their token mass, how
+    many spill over the cut). The running sum is windowed per language —
+    no global single-reducer cumsum."""
+    from datachain_spark.operators.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        "doc_id", "lang", F.col("n_chars").alias("tokens")
+    )
+    packed = pack_sequences(d, "tokens", 4096, partition_by="lang", order_by="doc_id")
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("sum_tokens"),
+            F.sum(F.col("crosses").cast("long")).alias("n_crossing"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1125,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fragment_pipeline": audio_fragment_pipeline,
         "read_meta_jsonl": read_meta_jsonl,
         "url_canonical_dedup": url_canonical_dedup,
+        "pack_sequences_layout": pack_sequences_layout,
     }
 
 
@@ -1818,6 +1842,24 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "pack_sequences_layout": """
+            WITH p AS (
+              SELECT lang,
+                     sum(n_chars) OVER w - n_chars AS start,
+                     sum(n_chars) OVER w AS cum,
+                     n_chars AS tokens
+              FROM documents WHERE doc_id < 2000
+              WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT lang,
+                   CAST(start // 4096 AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(CASE WHEN (cum - 1) // 4096 > start // 4096
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "url_canonical_dedup": """
             -- ground-truth canonical form of url_canonical_dedup's

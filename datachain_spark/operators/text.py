@@ -12,7 +12,9 @@ the driver's SQL oracle can verify it value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny built-in stopword lists for the n-gram/stopword language heuristic.
@@ -295,3 +297,44 @@ def decontaminate(
             "n_shared", F.coalesce(F.col("n_shared"), F.lit(0))
         )
     return corpus.join(hits.withColumnRenamed("__cid", id_col), id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    partition_by: str | Sequence[str] | None = None,
+    order_by: str | Sequence[str] = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing: lay documents end-to-end in a
+    deterministic order and cut fixed `budget`-token training sequences —
+    the GPT-style pretraining shard layout (documents crossing a cut get
+    split at tokenization time; this op computes the layout).
+
+    Adds per-doc columns:
+      seq_id  — index of the sequence the doc STARTS in
+      seq_pos — token offset of the doc inside that sequence
+      crosses — whether the doc spills into the next sequence
+
+    Scale: the running sum is windowed PER partition_by GROUP (shard /
+    language / source), so no global single-reducer cumsum exists; each
+    group's window sorts only its own rows. Leave partition_by=None only
+    for small frames."""
+    parts = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*parts).orderBy(*order) if parts else Window.orderBy(*order)
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).cast("long")
+    seq_id = F.floor(start / budget)
+    return (
+        df.withColumn("seq_id", seq_id)
+        .withColumn("seq_pos", start - seq_id * budget)
+        .withColumn(
+            "crosses",
+            F.floor((cum - 1) / budget) > seq_id,
+        )
+    )

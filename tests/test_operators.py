@@ -511,3 +511,28 @@ def test_dedup_lines_corpus_first_occurrence_wins(spark):
     assert (got[2]["n_lines_kept"], got[2]["n_lines_orig"]) == (2, 3)
     assert got[3]["text_kept"] is None
     assert (got[3]["n_lines_kept"], got[3]["n_lines_orig"]) == (0, 2)
+
+
+def test_pack_sequences_layout(spark):
+    from datachain_spark.operators.text import pack_sequences
+
+    rows = [(i, "en" if i % 2 == 0 else "es", t) for i, t in enumerate([400, 700, 900, 300, 600, 4096, 10])]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, tokens int")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "tokens", 1000, partition_by="lang", order_by="doc_id").collect()
+    }
+    # en stream: docs 0(400) 2(900) 4(600) 6(10) -> starts 0,400,1300,1900
+    assert (got[0]["seq_id"], got[0]["seq_pos"], got[0]["crosses"]) == (0, 0, False)
+    assert (got[2]["seq_id"], got[2]["seq_pos"], got[2]["crosses"]) == (0, 400, True)
+    assert (got[4]["seq_id"], got[4]["seq_pos"], got[4]["crosses"]) == (1, 300, False)
+    assert (got[6]["seq_id"], got[6]["seq_pos"], got[6]["crosses"]) == (1, 900, False)
+    # es stream: docs 1(700) 3(300) 5(4096) -> starts 0,700,1000
+    assert (got[1]["seq_id"], got[1]["crosses"]) == (0, False)
+    assert (got[3]["seq_id"], got[3]["seq_pos"], got[3]["crosses"]) == (0, 700, False)
+    # a doc spanning multiple budgets starts at exactly seq 1 pos 0
+    assert (got[5]["seq_id"], got[5]["seq_pos"], got[5]["crosses"]) == (1, 0, True)
+    # exact-fit doc (ends on a boundary) does not cross
+    one = spark.createDataFrame([(0, 1000)], "doc_id int, tokens int")
+    r = pack_sequences(one, "tokens", 1000, order_by="doc_id").collect()[0]
+    assert (r["seq_id"], r["seq_pos"], r["crosses"]) == (0, 0, False)
