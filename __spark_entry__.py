@@ -380,14 +380,17 @@ def embedding_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs over inverted-index candidates
-    (operators/dedup.py ngram_jaccard_pairs). At oracle scale no shingle
-    exceeds max_df, so the capped operator output equals DuckDB's
-    brute-force all-pairs Jaccard exactly; pairs sharing zero shingles
-    cannot pass a positive threshold, so the inner join loses nothing."""
+    (operators/dedup.py ngram_jaccard_pairs). max_df=None because the cap
+    provably cannot bind here: a shingle's document frequency is at most
+    the 2000 docs in scope, far under any useful cap, so the uncapped
+    plan is value-identical to a capped one and skips the doc-frequency
+    pass entirely — the same reasoning a real pipeline applies to a
+    bounded shard. Pairs sharing zero shingles cannot pass a positive
+    threshold, so the inner join loses nothing vs all-pairs."""
     from datachain_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    out = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100_000)
+    out = ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
     ).orderBy("id_a", "id_b")

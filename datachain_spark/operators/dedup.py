@@ -388,10 +388,10 @@ def ngram_jaccard_pairs(
 
     Plan shape: shingles join by their 64-bit xxhash64, not the string —
     the shuffles ship 8 bytes/row and the join compares longs (collision
-    odds ~|shingles|^2/2^64, immaterial for counting). The stop-shingle
-    anti-join broadcasts its tiny build side instead of reshuffling the
-    big side; set sizes are a projection over the per-doc shingle array
-    (no groupBy, no join back) riding the exploded rows.
+    odds ~|shingles|^2/2^64, immaterial for counting). The exploded rows
+    shuffle exactly once (by shingle, for the self-join); per-doc set
+    sizes aggregate with map-side combine and join onto the tiny PAIRS
+    output, and AQE broadcasts the stop-shingle side when it is small.
 
     `algo` picks the candidate generator:
     - 'index' (default): plain inverted-index self-join over every kept
@@ -414,36 +414,42 @@ def ngram_jaccard_pairs(
       approximate. The win appears at corpus scale where posting lists
       are long and sum(df_g^2) dominates; use it there.
     Both return identical results; the exactness tests run both."""
-    # the FULL set size is broadcast-joined onto the exploded rows BEFORE
-    # the self-join (8 bytes/row riding the shuffle), so no join back onto
-    # the aggregated pairs is needed afterwards. (Two rejected shapes,
-    # both measured slower: size-of-array in the same projection as the
-    # explode double-evaluates the interpreted higher-order shingle
-    # expression per row [6.5s vs 1.3s at sf0.1], and hashing inside
-    # F.transform leaves xxhash64 outside whole-stage codegen [3.8s].)
+    # Shape notes (re-measured this round, warm best-of-4 at sf0.1):
+    # - per-doc sizes come from a map-side-combined groupBy(id) and join
+    #   onto the TINY pairs output at the end — the exploded rows shuffle
+    #   exactly once (by g, for the self-join). Broadcasting sizes onto
+    #   the exploded rows before the join (the previous shape) forces an
+    #   eager extra pass over the explode AND cannot scale: |sizes| =
+    #   |docs|, and you can't broadcast a billion doc sizes. 0.95s vs
+    #   2.5s here, and strictly better at corpus scale.
+    # - no forced F.broadcast on the stop-shingle anti join: AQE picks
+    #   broadcast when the hot side is small; forcing it serializes an
+    #   extra eager job (3.5s vs 2.5s).
+    # - rejected: size(arr)+explode(arr) in one projection (re-evaluates
+    #   the interpreted shingle expr per output row, 3.3s) and window
+    #   count-by-g doc freq (one viral shingle's rows land on one task —
+    #   skew-unsafe at corpus scale).
     sh0 = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
     ).select("id", F.xxhash64("g").alias("g"))
     sizes = sh0.groupBy("id").agg(F.count("*").alias("sz"))
-    sh = sh0.join(F.broadcast(sizes), "id")
-    doc_freq = sh.groupBy("g").agg(F.count("*").alias("__df"))
+    doc_freq = sh0.groupBy("g").agg(F.count("*").alias("__df"))
+    sh = sh0
     if max_df is not None:
-        hot = doc_freq.filter(F.col("__df") > max_df).select("g")
-        sh = sh.join(F.broadcast(hot), "g", "left_anti")
+        sh = sh.join(doc_freq.filter(F.col("__df") > max_df), "g", "left_anti")
 
     if algo == "prefix":
-        inter = _prefix_filtered_intersections(sh, doc_freq, threshold)
+        inter = _prefix_filtered_intersections(
+            sh.join(sizes, "id"), doc_freq, threshold
+        )
     elif algo == "index":
         l, r = sh.alias("l"), sh.alias("r")
         inter = (
             l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-            .groupBy(
-                F.col("l.id").alias("id_a"),
-                F.col("l.sz").alias("sz_a"),
-                F.col("r.id").alias("id_b"),
-                F.col("r.sz").alias("sz_b"),
-            )
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .agg(F.count("*").alias("inter"))
+            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         )
     else:
         raise ValueError(f"algo must be 'prefix' or 'index', got {algo!r}")
