@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# module-level so `file: File` UDF hints resolve under postponed
+# annotations (udf.input_converters resolves via the fn's module globals)
+from datachain_spark.fileobj import File
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -660,6 +664,32 @@ def prefetch_file_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+def file_object_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary UDF idiom — `.map(lambda file: ...)` over
+    scalar File OBJECTS (reference lib/file.py:200-875) rebuilt from the
+    Spark `file` struct by the model-hint coercion (udf.input_converters,
+    the row_to_objs analog): each worker stats its file via resolve() and
+    reads the first 16 payload bytes via read_bytes(16). Oracle: DuckDB
+    read_blob sizes + hex of the same head slice."""
+    from datachain_spark.chain import Chain
+    from datachain_spark.sources.storage import read_storage
+
+    files = read_storage(spark, sf_dir, type="meta", glob="*.parquet")
+
+    def probe(file: File) -> dict:
+        fresh = file.resolve()
+        return {
+            "name": fresh.name,
+            "n_bytes": fresh.size,
+            "head_hex": file.read_bytes(16).hex().upper(),
+        }
+
+    ch = Chain(files, spark).map(
+        probe, output={"name": str, "n_bytes": int, "head_hex": str}
+    )
+    return ch.df.select("name", "n_bytes", "head_hex").orderBy("name")
+
+
 def pattern_uri_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_storage with the glob pattern EMBEDDED IN THE URI — brace
     alternation included (reference storage_pattern.py:35-118 split +
@@ -1137,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_struct_project": nested_struct_project,
         "read_storage_listing": read_storage_listing,
         "prefetch_file_bytes": prefetch_file_bytes,
+        "file_object_read": file_object_read,
         "pattern_uri_listing": pattern_uri_listing,
         "listings_enumeration": listings_enumeration,
         "pivot_by_type": pivot_by_type,
@@ -1693,6 +1724,13 @@ def oracle_sql() -> dict[str, str]:
         "prefetch_file_bytes": """
             SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
                    octet_length(content) AS n_bytes
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+            ORDER BY name
+        """,
+        "file_object_read": """
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+                   octet_length(content) AS n_bytes,
+                   substring(hex(content), 1, 32) AS head_hex
             FROM read_blob('/root/testdata/sf0.01/*.parquet')
             ORDER BY name
         """,

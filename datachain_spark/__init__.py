@@ -25,6 +25,23 @@ from datachain_spark.chain import (
     read_records,
     read_values,
 )
+from datachain_spark.fileobj import (
+    ArrowRow,
+    Audio,
+    AudioFile,
+    AudioFragment,
+    File,
+    FileError,
+    Image,
+    ImageFile,
+    TextFile,
+    VFileError,
+    Video,
+    VideoFile,
+    VideoFragment,
+    VideoFrame,
+    get_file_type,
+)
 from datachain_spark.session import get_spark
 
 __version__ = "0.3.0"
@@ -43,5 +60,20 @@ __all__ = [
     "read_dataset",
     "read_database",
     "datasets",
+    "File",
+    "TextFile",
+    "ImageFile",
+    "VideoFile",
+    "AudioFile",
+    "Image",
+    "Video",
+    "Audio",
+    "AudioFragment",
+    "VideoFrame",
+    "VideoFragment",
+    "ArrowRow",
+    "FileError",
+    "VFileError",
+    "get_file_type",
     "__version__",
 ]

@@ -42,8 +42,10 @@ from pyspark.sql import types as T
 from datachain_spark.lake.table import LakeTable
 from datachain_spark.udf import (
     Lifecycle,
+    coerce_args,
     infer_output,
     infer_params,
+    input_converters,
     is_model,
     model_to_struct,
     spark_type_of,
@@ -549,6 +551,9 @@ class Chain:
             [f for f in self.df.schema.fields if f.name not in _out_names] + out_fields
         )
         expand = len(out_fields) > 1
+        # model-hinted params (file: File, ...) get struct-dict -> object
+        # coercion; None when no param is model-hinted (zero overhead)
+        convs = input_converters(fn, use)
 
         if checkpoint is not None:
             from datachain_spark.checkpoint import checkpointed_udf
@@ -560,9 +565,10 @@ class Chain:
             )
 
             def row_adapter(
-                proc, row, _expand=expand, _names=tuple(names), _struct_out=_struct_single
+                proc, row, _expand=expand, _names=tuple(names), _struct_out=_struct_single,
+                _convs=convs,
             ):
-                cell = _model_cell(proc(*row))
+                cell = _model_cell(proc(*coerce_args(_convs, row)))
                 if _expand:
                     return [
                         tuple(_cell_value(cell, n, _names) for n in _names)
@@ -590,7 +596,10 @@ class Chain:
         def run(batches):
             with Lifecycle(fn) as proc:
                 for pdf in batches:
-                    res = [proc(*row) for row in pdf[use].itertuples(index=False, name=None)]
+                    res = [
+                        proc(*coerce_args(convs, row))
+                        for row in pdf[use].itertuples(index=False, name=None)
+                    ]
                     if expand:
                         cells = [_model_cell(r) for r in res]
                         names = [f.name for f in out_fields]
@@ -664,10 +673,11 @@ class Chain:
             else infer_output(fn)
         )
         out_names = [f.name for f in out_schema.fields]
+        convs = input_converters(fn, use)
 
-        def _gen_cells(proc, row, _names=tuple(out_names)):
+        def _gen_cells(proc, row, _names=tuple(out_names), _convs=convs):
             rows = []
-            for item in proc(*row):
+            for item in proc(*coerce_args(_convs, row)):
                 cell = _model_cell(item)
                 if isinstance(cell, dict):
                     rows.append(tuple(_cell_value(cell, n, _names) for n in _names))

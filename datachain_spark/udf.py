@@ -112,6 +112,91 @@ def model_to_struct(cls: Any) -> T.StructType:
     raise TypeError(f"{cls!r} is not a dataclass or NamedTuple")
 
 
+def model_from_cell(cls: Any, data: Any) -> Any:
+    """Struct cell (dict / Row) -> model instance, recursively — the
+    reference's SignalSchema.row_to_objs rebuilding Pydantic objects from
+    warehouse rows (lib/signal_schema.py:591-614). Missing keys keep the
+    model's defaults; extra keys are ignored (so a File hint tolerates a
+    struct without `version`/`location`)."""
+    if data is None or isinstance(data, cls):
+        return data
+    if hasattr(data, "asDict"):
+        data = data.asDict()
+    hints = _hints(cls)
+    names = (
+        [f.name for f in dataclasses.fields(cls)]
+        if dataclasses.is_dataclass(cls)
+        else list(cls._fields)
+    )
+    kwargs = {n: _coerce_cell(hints[n], data[n]) for n in names if n in data}
+    return cls(**kwargs)
+
+
+def _coerce_cell(py_type: Any, v: Any) -> Any:
+    if v is None:
+        return None
+    origin = get_origin(py_type)
+    if origin in (typing.Union, getattr(__import__("types"), "UnionType", ())):
+        args = [a for a in get_args(py_type) if a is not type(None)]
+        if len(args) == 1:
+            return _coerce_cell(args[0], v)
+        return v
+    if is_model(py_type):
+        return model_from_cell(py_type, v)
+    if origin in (list, typing.List):  # noqa: UP006
+        (elem,) = get_args(py_type) or (Any,)
+        return [_coerce_cell(elem, x) for x in v]
+    if origin in (dict, typing.Dict):  # noqa: UP006
+        args = get_args(py_type)
+        vt = args[1] if args else Any
+        return {k: _coerce_cell(vt, x) for k, x in v.items()}
+    if py_type is bytes and isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def input_converters(fn: Any, use: list[str]) -> list[Callable | None] | None:
+    """Per-input-column converters for a row UDF, aligned positionally to
+    `use`: a parameter type-hinted with a model (e.g. `file: File`) gets a
+    dict->model coercer, everything else passes through. Returns None when
+    no parameter is model-hinted, so the common scalar path pays nothing.
+    This is what lets the reference idiom `.map(lambda file:
+    file.read_text())` work against the Spark `file` struct (reference
+    signal_schema.py:591-614 + lib/udf.py row-to-feature conversion)."""
+    import functools
+
+    proc = _process_fn(fn)
+    try:
+        hints = get_type_hints(proc)
+    except Exception:
+        return None
+    sig = inspect.signature(proc)
+    params = [
+        p.name
+        for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)
+    ]
+    convs: list[Callable | None] = []
+    for name in params[: len(use)]:
+        t = hints.get(name)
+        origin = get_origin(t)
+        if origin in (typing.Union, getattr(__import__("types"), "UnionType", ())):
+            args = [a for a in get_args(t) if a is not type(None)]
+            t = args[0] if len(args) == 1 else t
+        if t is not None and is_model(t):
+            convs.append(functools.partial(model_from_cell, t))
+        else:
+            convs.append(None)
+    convs += [None] * (len(use) - len(convs))
+    return convs if any(c is not None for c in convs) else None
+
+
+def coerce_args(convs: list[Callable | None] | None, row: tuple) -> tuple:
+    if convs is None:
+        return row
+    return tuple(v if c is None else c(v) for c, v in zip(convs, row))
+
+
 def model_to_row(obj: Any) -> Any:
     """Model instance -> plain tuple/dict tree Spark can ingest."""
     if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
