@@ -684,7 +684,7 @@ def file_object_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_hex": file.read_bytes(16).hex().upper(),
         }
 
-    ch = Chain(files, spark).map(
+    ch = Chain(files).map(
         probe, output={"name": str, "n_bytes": int, "head_hex": str}
     )
     return ch.df.select("name", "n_bytes", "head_hex").orderBy("name")

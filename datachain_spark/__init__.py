@@ -9,13 +9,23 @@ and a Structured-Streaming-driven CDC merge-apply pipeline with exactly-once
 commit manifests for incremental processing.
 
 Reference parity map: SURVEY.md §2 (operator inventory) and §7 (build plan).
+The top-level export set mirrors the reference's `datachain/__init__.py`
+__all__ name-for-name so `import datachain_spark as dc` is a drop-in for
+`import datachain as dc` (design substitutions — dataclass models for
+Pydantic, SparkSession for Session's catalog — documented on each symbol).
 """
 
+from pyspark.sql import Column
+
+from datachain_spark import metrics
 from datachain_spark.chain import (
     C,
     Chain,
+    DatasetNotFoundError,
     DeltaDisabledError,
     datasets,
+    delete_dataset,
+    move_dataset,
     read_csv,
     read_database,
     read_dataset,
@@ -25,6 +35,14 @@ from datachain_spark.chain import (
     read_records,
     read_values,
 )
+from datachain_spark.data_model import (
+    DataModel,
+    DataType,
+    ModelStore,
+    Sys,
+    is_chain_type,
+)
+from datachain_spark.error import DataChainError
 from datachain_spark.fileobj import (
     ArrowRow,
     Audio,
@@ -34,6 +52,7 @@ from datachain_spark.fileobj import (
     FileError,
     Image,
     ImageFile,
+    TarVFile,
     TextFile,
     VFileError,
     Video,
@@ -42,38 +61,96 @@ from datachain_spark.fileobj import (
     VideoFrame,
     get_file_type,
 )
-from datachain_spark.session import get_spark
+from datachain_spark.params import param
+from datachain_spark.session import Session, get_spark, is_local, is_studio
+from datachain_spark.sources.hf import read_hf
+from datachain_spark.sources.storage import listings, read_storage
+from datachain_spark.udf import (
+    AbstractUDF,
+    Aggregator,
+    BatchMapper,
+    Generator,
+    Mapper,
+)
 
-__version__ = "0.3.0"
+# the reference calls the chain class DataChain; same object here
+DataChain = Chain
+
+__version__ = "0.4.0"
+
+
+def create_project(namespace, name, descr=None, catalog_root=None, exist_ok=False):
+    """Top-level project creation with the reference's arg order
+    (reference lib/projects.py create / __init__ export)."""
+    from datachain_spark.chain import DEFAULT_CATALOG
+    from datachain_spark.namespaces import create_project as _create
+
+    return _create(catalog_root or DEFAULT_CATALOG, namespace, name, descr, exist_ok)
+
+
+def delete_namespace(name, catalog_root=None):
+    """Top-level namespace delete (reference lib/namespaces.py delete)."""
+    from datachain_spark.chain import DEFAULT_CATALOG
+    from datachain_spark.namespaces import delete_namespace as _delete
+
+    return _delete(catalog_root or DEFAULT_CATALOG, name)
+
 
 __all__ = [
-    "get_spark",
-    "Chain",
-    "C",
-    "DeltaDisabledError",
-    "read_parquet",
-    "read_csv",
-    "read_json",
-    "read_values",
-    "read_records",
-    "read_pandas",
-    "read_dataset",
-    "read_database",
-    "datasets",
-    "File",
-    "TextFile",
-    "ImageFile",
-    "VideoFile",
-    "AudioFile",
-    "Image",
-    "Video",
-    "Audio",
-    "AudioFragment",
-    "VideoFrame",
-    "VideoFragment",
+    "AbstractUDF",
+    "Aggregator",
     "ArrowRow",
+    "Audio",
+    "AudioFile",
+    "AudioFragment",
+    "BatchMapper",
+    "C",
+    "Chain",
+    "Column",
+    "DataChain",
+    "DataChainError",
+    "DataModel",
+    "DataType",
+    "DatasetNotFoundError",
+    "DeltaDisabledError",
+    "File",
     "FileError",
+    "Generator",
+    "Image",
+    "ImageFile",
+    "Mapper",
+    "ModelStore",
+    "Session",
+    "Sys",
+    "TarVFile",
+    "TextFile",
     "VFileError",
+    "Video",
+    "VideoFile",
+    "VideoFragment",
+    "VideoFrame",
+    "create_project",
+    "datasets",
+    "delete_dataset",
+    "delete_namespace",
     "get_file_type",
+    "get_spark",
+    "is_chain_type",
+    "is_local",
+    "is_studio",
+    "listings",
+    "metrics",
+    "move_dataset",
+    "param",
+    "read_csv",
+    "read_database",
+    "read_dataset",
+    "read_hf",
+    "read_json",
+    "read_pandas",
+    "read_parquet",
+    "read_records",
+    "read_storage",
+    "read_values",
     "__version__",
 ]

@@ -350,6 +350,28 @@ class Chain:
         cols = list(key_cols) or self.df.columns
         return self._evolve(self.df.orderBy(F.xxhash64(*cols)))
 
+    def with_sys(self, seed: int = 42) -> "Chain":
+        """Materialize the internal `sys` signals struct (reference Sys
+        model, lib/dc/utils.py:132-136; `.settings(sys=True)` exposes
+        sys__id/sys__rand from the warehouse rowid + a random column,
+        warehouse.py:281-334). Spark substitution, both JVM-side: `id` =
+        monotonically_increasing_id() (unique per materialized read, like
+        a rowid), `rand` = xxhash64 of the full row + seed masked to a
+        63-bit non-negative — DETERMINISTIC, so sample/chunk/split built
+        on it are repeatable across cluster sizes, which the reference's
+        regenerated random is not."""
+        cols = [c for c in self.df.columns if c != "sys"]
+        rand = F.xxhash64(*cols, F.lit(seed)).bitwiseAND(F.lit((1 << 63) - 1))
+        return self._evolve(
+            self.df.withColumn(
+                "sys",
+                F.struct(
+                    F.monotonically_increasing_id().alias("id"),
+                    rand.alias("rand"),
+                ),
+            )
+        )
+
     def chunk(self, index: int, total: int, *key_cols: str) -> "Chain":
         """Deterministic 1/total slice by key hash (reference
         datachain.py:3005-3025 uses sys__rand % total)."""
@@ -640,8 +662,11 @@ class Chain:
         )
 
         def run(batches):
-            for pdf in batches:
-                yield fn(pdf)
+            # Lifecycle so BatchMapper instances (.process) work and their
+            # setup()/teardown() run once per worker, like map/gen
+            with Lifecycle(fn) as proc:
+                for pdf in batches:
+                    yield proc(pdf)
 
         return self._evolve(self._udf_input().mapInPandas(run, out_schema))
 
@@ -753,7 +778,7 @@ class Chain:
 
     def save(
         self,
-        name: str,
+        name: str | None = None,
         version: str | None = None,
         key_cols: Sequence[str] | None = None,
         num_buckets: int | None = None,
@@ -773,7 +798,17 @@ class Chain:
         created on demand (datachain_spark/namespaces.py)."""
         from datachain_spark.namespaces import dataset_root, ensure_dataset_parent
 
-        name = self._settings.qualify(name)
+        if name is None:
+            # ephemeral dataset owned by the active Session (reference
+            # datachain.py save(name=None) -> session temp dataset,
+            # query/session.py:43-48); deleted at session cleanup()
+            from datachain_spark.session import Session
+
+            sess = Session.get(catalog_root=self.catalog_root)
+            name = self._settings.qualify(sess.generate_temp_dataset_name())
+            sess.track_dataset(name)
+        else:
+            name = self._settings.qualify(name)
         ensure_dataset_parent(self.catalog_root, name)
         root = dataset_root(self.catalog_root, name)
         df = self.df

@@ -87,3 +87,110 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def is_studio() -> bool:
+    """True when running inside a hosted/studio runtime (reference
+    lib/dc/utils.py:27-29 reads DATACHAIN_IS_STUDIO). There is no hosted
+    tier for this engine; the flag is honored for code written against
+    the reference API."""
+    return os.environ.get(
+        "DATACHAIN_SPARK_IS_STUDIO", os.environ.get("DATACHAIN_IS_STUDIO", "")
+    ).lower() in ("1", "true", "yes")
+
+
+def is_local() -> bool:
+    """Inverse of is_studio() (reference lib/dc/utils.py:32-34)."""
+    return not is_studio()
+
+
+class Session:
+    """Temp-dataset lifecycle context (reference query/session.py:35-150):
+    datasets saved without a name get `session_<name>_<suuid>_<duuid>`
+    names and are deleted when the session exits. The reference's Session
+    also owns the catalog/warehouse connection; on Spark that role belongs
+    to SparkSession + catalog_root, so this class carries both and stays a
+    thin tracker. `with Session("etl") as s: ch.save()` — or no context at
+    all, in which case a global session collects temp datasets and
+    `cleanup()` is explicit."""
+
+    GLOBAL_SESSION: "Session | None" = None
+    _CONTEXTS: list["Session"] = []
+
+    def __init__(
+        self,
+        name: str = "",
+        catalog_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        if name and not name.isalnum():
+            raise ValueError(f"session name must be alphanumeric: {name!r}")
+        import uuid
+
+        from datachain_spark.chain import DEFAULT_CATALOG
+
+        self.name = name
+        self.uuid = uuid.uuid4().hex[:6]
+        self.catalog_root = catalog_root or DEFAULT_CATALOG
+        self._spark = spark
+        self._temp_datasets: list[str] = []
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = get_spark()
+        return self._spark
+
+    def generate_temp_dataset_name(self) -> str:
+        """`session_<name>_<session-uuid>_<dataset-uuid>` (reference
+        session.py:43-48 format)."""
+        import uuid
+
+        mid = f"{self.name}_" if self.name else ""
+        n = f"session_{mid}{self.uuid}_{uuid.uuid4().hex[:6]}"
+        self._temp_datasets.append(n)
+        return n
+
+    def track_dataset(self, name: str) -> None:
+        """Register an extra name for cleanup (save() re-registers the
+        namespace-qualified form of a temp name)."""
+        if name not in self._temp_datasets:
+            self._temp_datasets.append(name)
+
+    def cleanup(self) -> None:
+        """Drop every temp dataset this session created (reference
+        _cleanup_created_versions). Missing ones are fine — a nested
+        session or explicit delete may have removed them."""
+        from datachain_spark.chain import DatasetNotFoundError, delete_dataset
+
+        for n in self._temp_datasets:
+            try:
+                delete_dataset(n, self.catalog_root, force=True)
+            except DatasetNotFoundError:
+                pass
+        self._temp_datasets.clear()
+
+    def __enter__(self) -> "Session":
+        Session._CONTEXTS.append(self)
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        if Session._CONTEXTS and Session._CONTEXTS[-1] is self:
+            Session._CONTEXTS.pop()
+        self.cleanup()
+
+    @classmethod
+    def get(
+        cls,
+        session: "Session | None" = None,
+        catalog_root: str | None = None,
+    ) -> "Session":
+        """Explicit session > innermost context > lazily-created global
+        (reference Session.get, session.py:120-150)."""
+        if session is not None:
+            return session
+        if cls._CONTEXTS:
+            return cls._CONTEXTS[-1]
+        if cls.GLOBAL_SESSION is None:
+            cls.GLOBAL_SESSION = cls("global", catalog_root=catalog_root)
+        return cls.GLOBAL_SESSION

@@ -287,3 +287,48 @@ class Lifecycle:
         teardown = getattr(self.fn, "teardown", None)
         if callable(teardown):
             teardown()
+
+
+class AbstractUDF:
+    """Class-based UDF contract (reference lib/utils.py:15-26 AbstractUDF +
+    lib/udf.py:235-630 UDFBase): subclass, implement `process`, optionally
+    `setup`/`teardown` (run once per worker around the Arrow batch
+    iterator — Lifecycle above). Pass an INSTANCE to Chain.map/gen/agg/
+    map_batches; input columns come from `process`'s parameter names and
+    the output schema from its return annotation, exactly like a plain
+    function UDF. Constructor kwargs land on `self`, so per-job state
+    (paths, thresholds, loaded models) travels to executors by pickle."""
+
+    def __init__(self, **kwargs: Any):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    def process(self, *args: Any, **kwargs: Any) -> Any:
+        raise NotImplementedError(
+            f"{type(self).__name__} must implement process()"
+        )
+
+    def setup(self) -> None:
+        pass
+
+    def teardown(self) -> None:
+        pass
+
+
+class Mapper(AbstractUDF):
+    """1:1 row transform — use with Chain.map (reference lib/udf.py:435-478)."""
+
+
+class BatchMapper(AbstractUDF):
+    """N:N batch transform over pandas Series — use with Chain.map_batches
+    (reference lib/udf.py:480-539)."""
+
+
+class Generator(AbstractUDF):
+    """1:N row expansion; `process` yields/returns an iterable of outputs —
+    use with Chain.gen (reference lib/udf.py:541-598)."""
+
+
+class Aggregator(AbstractUDF):
+    """N:M group transform; `process` receives column-value lists per
+    group — use with Chain.agg (reference lib/udf.py:600-630)."""
