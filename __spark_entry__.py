@@ -1104,6 +1104,31 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def explode_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain.explode (reference datachain.py:495-551): JSON metadata
+    strings exploded into a typed struct column. The round-trip is
+    genuine — to_json builds the strings JVM-side, explode samples rows
+    to infer the schema (driver, tiny), then from_json parses EVERY row
+    in codegen (the reference maps per-row Python json.loads). Oracle:
+    DuckDB builds the same JSON and re-extracts with json_extract."""
+    from datachain_spark.chain import Chain
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
+        ).alias("meta"),
+    )
+    ch = Chain(j).explode("meta", schema_sample_size=5)
+    return ch.df.select(
+        "doc_id",
+        F.col("meta_expl.lang").alias("lang"),
+        F.col("meta_expl.n_chars").alias("n_chars"),
+        F.col("meta_expl.source").alias("source"),
+    ).orderBy("doc_id")
+
+
 def pack_sequences_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing layout (operators/text.pack_sequences):
     lay documents end-to-end per language, cut 4096-token sequences, and
@@ -1182,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fragment_pipeline": audio_fragment_pipeline,
         "read_meta_jsonl": read_meta_jsonl,
         "url_canonical_dedup": url_canonical_dedup,
+        "explode_json_struct": explode_json_struct,
         "pack_sequences_layout": pack_sequences_layout,
     }
 
@@ -1883,6 +1909,20 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "explode_json_struct": """
+            SELECT doc_id,
+                   json_extract_string(meta, '$.lang') AS lang,
+                   CAST(json_extract(meta, '$.n_chars') AS BIGINT) AS n_chars,
+                   json_extract_string(meta, '$.source') AS source
+            FROM (
+                SELECT doc_id,
+                       to_json(struct_pack(lang := lang,
+                                           n_chars := n_chars,
+                                           source := source)) AS meta
+                FROM documents WHERE doc_id < 300
+            )
+            ORDER BY doc_id
         """,
         "pack_sequences_layout": """
             WITH p AS (

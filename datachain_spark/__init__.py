@@ -63,8 +63,6 @@ from datachain_spark.fileobj import (
 )
 from datachain_spark.params import param
 from datachain_spark.session import Session, get_spark, is_local, is_studio
-from datachain_spark.sources.hf import read_hf
-from datachain_spark.sources.storage import listings, read_storage
 from datachain_spark.udf import (
     AbstractUDF,
     Aggregator,
@@ -77,6 +75,30 @@ from datachain_spark.udf import (
 DataChain = Chain
 
 __version__ = "0.4.0"
+
+
+def read_storage(spark, uri, **kw) -> Chain:
+    """List a storage URI into a chain of File rows (reference
+    lib/dc/storage.py read_storage returns a DataChain; the
+    DataFrame-level twin stays at sources.storage.read_storage)."""
+    from datachain_spark.sources.storage import read_storage as _rs
+
+    return Chain(_rs(spark, uri, **kw))
+
+
+def read_hf(spark, *args, **kw) -> Chain:
+    """HuggingFace dataset -> chain (reference lib/dc/hf.py)."""
+    from datachain_spark.sources.hf import read_hf as _rh
+
+    return Chain(_rh(spark, *args, **kw))
+
+
+def listings(spark, cache_root, **kw) -> Chain:
+    """Enumerate cached storage listings as a chain (reference
+    lib/dc/listings.py)."""
+    from datachain_spark.sources.storage import listings as _ls
+
+    return Chain(_ls(spark, cache_root, **kw))
 
 
 def create_project(namespace, name, descr=None, catalog_root=None, exist_ok=False):

@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 from datachain_spark.lake.table import LakeTable
 from datachain_spark.udf import (
     Lifecycle,
+    bind_setup,
     coerce_args,
     infer_output,
     infer_params,
@@ -211,15 +212,326 @@ class Chain:
         self._delta = delta
         self._delta_unsafe = delta_unsafe
         self._settings = settings or Settings()
+        self._setup: dict[str, Callable] = {}
+        # provenance, set by read_dataset()/save() (reference name/version/
+        # dataset properties); transformations drop it — the result is no
+        # longer that dataset
+        self._dataset_name: str | None = None
+        self._dataset_version: str | int | None = None
 
     def _evolve(self, df: DataFrame) -> "Chain":
-        return Chain(
+        out = Chain(
             df,
             self.catalog_root,
             delta=self._delta,
             delta_unsafe=self._delta_unsafe,
             settings=self._settings,
         )
+        out._setup = dict(self._setup)
+        return out
+
+    def setup(self, **kwargs: Callable) -> "Chain":
+        """Register worker-evaluated objects for UDFs (reference
+        datachain.py:2751-2793): each value is a CALLABLE evaluated lazily
+        once per Python worker (never on the driver, never pickled
+        evaluated — exactly what a non-picklable API client needs); a
+        map/gen parameter with a matching NAME receives the object instead
+        of a column:
+
+            ch.setup(client=lambda: Client(KEY))
+              .map(lambda client, text: client.ask(text), output={...})
+        """
+        dup = set(self._setup) & set(kwargs)
+        if dup:
+            raise ValueError(f"already setup: {sorted(dup)}")
+        bad = [k for k, v in kwargs.items() if not callable(v)]
+        if bad:
+            raise ValueError(
+                f"setup value(s) {bad} must be callables (use `lambda: value`)"
+            )
+        out = self._evolve(self.df)
+        out._setup = {**self._setup, **kwargs}
+        return out
+
+    # ---------- reference DataChain method-surface parity ----------
+    # (thin delegates; each cites its reference signature)
+
+    def apply(self, func: Callable, *args, **kwargs):
+        """func(self, *args) — chain-level function application for
+        composing reusable pipeline fragments (reference
+        datachain.py:893-915)."""
+        return func(self, *args, **kwargs)
+
+    def batch_map(self, fn: Callable, output: dict[str, Any] | None = None) -> "Chain":
+        """Reference name for map_batches (datachain.py:1144-1219)."""
+        return self.map_batches(fn, output)
+
+    def clone(self) -> "Chain":
+        """Copy of this chain (reference datachain.py:345-350)."""
+        return self._evolve(self.df)
+
+    def c(self, column: str | Column) -> Column:
+        """Column reference bound to this chain (reference
+        datachain.py:288-294)."""
+        return self.column(column) if isinstance(column, str) else column
+
+    def column(self, name: str) -> Column:
+        """Column by name, validated against the schema — nested fields
+        use dotted paths (reference datachain.py:272-287)."""
+        head = name.split(".")[0]
+        if head not in self.df.columns:
+            raise ValueError(
+                f"column {name!r} not found (available: {self.df.columns})"
+            )
+        return F.col(name)
+
+    @property
+    def delta(self) -> bool:
+        """True when delta (incremental) processing is on (reference
+        datachain.py:259-262)."""
+        return self._delta
+
+    @property
+    def delta_unsafe(self) -> bool:
+        return self._delta_unsafe
+
+    @property
+    def empty(self) -> bool:
+        """True when the chain has no rows (reference datachain.py:254-257);
+        evaluates limit(1), never a full count."""
+        return len(self.df.take(1)) == 0
+
+    def hash(self) -> str:
+        """Deterministic identity of the chain's LOGICAL PLAN (reference
+        datachain.py:225-252 hashes the serialized query steps for
+        checkpoint identity): Catalyst's semanticHash over the analyzed
+        plan, so two chains built the same way hash equal regardless of
+        object identity."""
+        return f"{self.df.semanticHash() & 0xFFFFFFFF:08x}"
+
+    @property
+    def session(self):
+        """The active Session (reference datachain.py:295-302)."""
+        from datachain_spark.session import Session
+
+        return Session.get(catalog_root=self.catalog_root)
+
+    @property
+    def name(self) -> str | None:
+        """Dataset name when this chain is an unmodified read_dataset()/
+        save() result (reference datachain.py:316-319)."""
+        return self._dataset_name
+
+    @property
+    def version(self) -> str | int | None:
+        """Dataset version matching .name (reference datachain.py:321-324):
+        the semver tag when the snapshot has one, else the snapshot id."""
+        return self._dataset_version
+
+    @property
+    def dataset(self) -> dict | None:
+        """Identity record for a dataset-backed chain (reference
+        datachain.py:326-339 returns DatasetRecord; here a plain dict of
+        name/version/namespace/project)."""
+        if self._dataset_name is None:
+            return None
+        ns, proj, base = _parse_name(self._dataset_name)
+        return {
+            "name": base,
+            "full_name": self._dataset_name,
+            "version": self._dataset_version,
+            "namespace": ns,
+            "project": proj,
+        }
+
+    @property
+    def namespace_name(self) -> str:
+        """Namespace of the backing dataset, or the local default
+        (reference datachain.py:584-590)."""
+        if self._dataset_name:
+            ns, _, _ = _parse_name(self._dataset_name)
+            if ns:
+                return ns
+        return self._settings.namespace or "local"
+
+    @property
+    def project_name(self) -> str:
+        if self._dataset_name:
+            _, proj, _ = _parse_name(self._dataset_name)
+            if proj:
+                return proj
+        return self._settings.project or "local"
+
+    @property
+    def job(self) -> None:
+        """Hosted-runtime job handle — always None here (the reference's
+        Job rides its SaaS layer, datachain.py:304-314; job-scoped params/
+        metrics live in params.py/metrics.py keyed by DATACHAIN_JOB_ID)."""
+        return None
+
+    def reset_settings(self, settings: "Settings | None" = None) -> "Chain":
+        """Replace (not merge) the chain settings (reference
+        datachain.py:446-450)."""
+        out = self._evolve(self.df)
+        out._settings = settings or Settings()
+        return out
+
+    def results(self, row_factory: Callable | None = None) -> list[tuple]:
+        """All rows as tuples (reference datachain.py:1582-1605)."""
+        rows = [tuple(r) for r in self.df.collect()]
+        if row_factory is None:
+            return rows
+        cols = self.df.columns
+        return [row_factory(cols, r) for r in rows]
+
+    def to_columnar_data_with_names(
+        self, *cols: str
+    ) -> tuple[list[str], list[list[Any]]]:
+        """(names, column-major values) (reference datachain.py:1558-1580).
+        Driver-materializing by definition — bounded use only."""
+        names = list(cols) or self.df.columns
+        rows = self.df.select(*names).collect()
+        return names, [[r[i] for r in rows] for i in range(len(names))]
+
+    def to_jsonl(self, path: str, mode: str = "overwrite") -> None:
+        """JSON-lines export (reference datachain.py:2535-2551). Spark's
+        distributed json writer is line-delimited natively."""
+        self.df.write.mode(mode).json(path)
+
+    def file_diff(
+        self,
+        other: "Chain",
+        column: str = "file",
+        compare: list[str] | None = None,
+    ) -> "Chain":
+        """File-listing diff (reference datachain.py:1998-2069); delegates
+        to sources.storage.file_diff."""
+        from datachain_spark.sources.storage import file_diff as _fd
+
+        return self._evolve(_fd(self.df, other.df, column=column, compare=compare))
+
+    def parse_tabular(
+        self, format: str = "csv", column: str = "file", **options: str
+    ) -> "Chain":  # noqa: A002 - reference API name
+        """Parse the CONTENT of this chain's file listing as tabular data
+        (reference datachain.py:2214-2320)."""
+        from datachain_spark.sources.storage import parse_tabular as _pt
+
+        return self._evolve(
+            _pt(self.df.sparkSession, self.df, format=format, column=column, **options)
+        )
+
+    def explode(
+        self,
+        col: str,
+        model_name: str | None = None,
+        column: str | None = None,
+        schema_sample_size: int = 1,
+    ) -> "Chain":
+        """Explode a JSON-string column into a typed struct column
+        (reference datachain.py:495-551): the schema is inferred from the
+        first `schema_sample_size` rows (driver-side, tiny), then the
+        PARSE is `from_json` — JVM codegen over every row, where the
+        reference maps per-row Python json.loads through a UDF. A
+        dataclass model named `model_name` (default
+        `<Col>ExplodedModel`) is generated and registered in ModelStore,
+        matching the reference's dict_to_data_model."""
+        import json as _json
+
+        samples = [r[0] for r in self.df.select(col).limit(schema_sample_size).collect()]
+        dicts = []
+        for v in samples:
+            if isinstance(v, str):
+                v = _json.loads(v)
+            elif hasattr(v, "asDict"):
+                v = v.asDict(recursive=True)
+            if not isinstance(v, dict):
+                raise TypeError(f"Column {col} should be a string or dict type with JSON")
+            dicts.append(v)
+        if not dicts:
+            raise ValueError(f"cannot infer schema: column {col!r} has no rows")
+        from datachain_spark.sources.meta import _infer_type, merge_struct
+
+        schema = _infer_type(dicts[0])
+        for d in dicts[1:]:
+            schema = merge_struct(schema, _infer_type(d))
+        out_col = column or f"{col}_expl"
+        out = self._evolve(
+            self.df.withColumn(out_col, F.from_json(F.col(col), schema))
+        )
+        # generated + registered model for reference parity (ModelStore
+        # lookup by name; the struct column itself never touches Python)
+        from datachain_spark.data_model import ModelStore
+        from datachain_spark.sources.meta import gen_datamodel_code, load_spec
+
+        mname = model_name or f"{col.title()}ExplodedModel"
+        try:
+            model = load_spec(gen_datamodel_code(_json.dumps(dicts[0]), model_name=mname))
+            ModelStore.register(model)
+        except Exception:  # noqa: BLE001 - model codegen is best-effort sugar
+            pass
+        return out
+
+    # -- reference from_* classmethod aliases (deprecated there in favor
+    #    of module-level read_*; kept for drop-in compatibility) --
+
+    @classmethod
+    def from_storage(cls, spark: SparkSession, uri: str, **kw) -> "Chain":
+        from datachain_spark.sources.storage import read_storage
+
+        return cls(read_storage(spark, uri, **kw))
+
+    @classmethod
+    def from_dataset(cls, spark: SparkSession, name: str, **kw) -> "Chain":
+        return read_dataset(spark, name, **kw)
+
+    @classmethod
+    def from_values(cls, spark: SparkSession, **cols) -> "Chain":
+        return read_values(spark, **cols)
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, pdf, **kw) -> "Chain":
+        return read_pandas(spark, pdf, **kw)
+
+    @classmethod
+    def from_records(cls, spark: SparkSession, records, **kw) -> "Chain":
+        return read_records(spark, records, **kw)
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str, **kw) -> "Chain":
+        return read_csv(spark, path, **kw)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str, **kw) -> "Chain":
+        return read_parquet(spark, path, **kw)
+
+    @classmethod
+    def from_json(cls, spark: SparkSession, path: str, **kw) -> "Chain":
+        return read_json(spark, path, **kw)
+
+    @classmethod
+    def from_hf(cls, spark: SparkSession, *a, **kw) -> "Chain":
+        from datachain_spark.sources.hf import read_hf
+
+        return cls(read_hf(spark, *a, **kw))
+
+    @classmethod
+    def datasets(
+        cls, spark: SparkSession, catalog_root: str | None = None, **kw
+    ) -> "Chain":
+        """Chain of dataset-info rows (reference datachain.py:552-566)."""
+        from datachain_spark.dataset_info import datasets_info
+
+        root = catalog_root or DEFAULT_CATALOG
+        return cls(datasets_info(spark, root, **kw), root)
+
+    @classmethod
+    def listings(cls, spark: SparkSession, cache_root: str, **kw) -> "Chain":
+        """Chain of cached-listing info rows (reference
+        datachain.py:568-582)."""
+        from datachain_spark.sources.storage import listings as _listings
+
+        return cls(_listings(spark, cache_root, **kw))
 
     def settings(self, **kw) -> "Chain":
         """Attach execution settings (reference datachain.py .settings(),
@@ -555,6 +867,7 @@ class Chain:
             if len(signal_map) != 1:
                 raise ValueError("map() needs a function or exactly one name=fn keyword")
             default_name, fn = next(iter(signal_map.items()))
+        fn = bind_setup(fn, self._setup)
         in_cols = self.df.columns
         use = params if params is not None else infer_params(fn, in_cols)
         out_struct = (
@@ -689,6 +1002,7 @@ class Chain:
         never re-generated."""
         import pandas as pd
 
+        fn = bind_setup(fn, self._setup)
         use = params if params is not None else infer_params(fn, self.df.columns)
         out_schema = (
             output
@@ -1047,7 +1361,27 @@ def read_dataset(
     table = LakeTable(dataset_root(catalog_root, name))
     if isinstance(version, str) and any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
         version = _resolve_semver_spec(table, version)
-    return Chain(table.read(spark, version=version), catalog_root=catalog_root)
+    ch = Chain(table.read(spark, version=version), catalog_root=catalog_root)
+    # provenance for .name/.version/.dataset (reference datachain.py:316-339)
+    ch._dataset_name = name
+    try:
+        v = (
+            table.current_version()
+            if version is None
+            else version
+            if isinstance(version, int)
+            else table.resolve_tag(version)
+        )
+        ch._dataset_version = table.snapshot(v).tag or v
+    except Exception:  # noqa: BLE001 - provenance is metadata sugar
+        ch._dataset_version = version
+    return ch
+
+
+def _parse_name(name: str) -> tuple[str | None, str | None, str]:
+    from datachain_spark.namespaces import parse_dataset_name
+
+    return parse_dataset_name(name)
 
 
 def _resolve_semver_spec(table: LakeTable, spec: str) -> int:

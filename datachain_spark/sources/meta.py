@@ -256,3 +256,32 @@ __all__ = [
     "load_spec",
     "read_meta",
 ]
+
+
+def merge_struct(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of two inferred struct schemas (Chain.explode's multi-sample
+    inference — the reference unions pyarrow-inferred schemas across its
+    sample rows, datachain.py:528-533): fields merge by name preserving
+    first-seen order, long+double widens to double, nested structs merge
+    recursively, irreconcilable types fall back to string."""
+
+    def merge_dt(x: T.DataType, y: T.DataType) -> T.DataType:
+        if x == y:
+            return x
+        if isinstance(x, T.StructType) and isinstance(y, T.StructType):
+            return merge_struct(x, y)
+        if isinstance(x, T.ArrayType) and isinstance(y, T.ArrayType):
+            return T.ArrayType(merge_dt(x.elementType, y.elementType), True)
+        if {type(x), type(y)} == {T.LongType, T.DoubleType}:
+            return T.DoubleType()
+        return T.StringType()
+
+    merged: dict[str, T.DataType] = {f.name: f.dataType for f in a.fields}
+    order = [f.name for f in a.fields]
+    for f in b.fields:
+        if f.name in merged:
+            merged[f.name] = merge_dt(merged[f.name], f.dataType)
+        else:
+            merged[f.name] = f.dataType
+            order.append(f.name)
+    return T.StructType([T.StructField(n, merged[n], True) for n in order])

@@ -332,3 +332,78 @@ class Generator(AbstractUDF):
 class Aggregator(AbstractUDF):
     """N:M group transform; `process` receives column-value lists per
     group — use with Chain.agg (reference lib/udf.py:600-630)."""
+
+
+class SetupAdapter:
+    """Binds Chain.setup() values to a UDF (reference datachain.py
+    .setup(), 2751-2793): parameters of `fn` whose names match setup keys
+    are filled with the callables' results — evaluated ONCE per Python
+    worker inside setup(), so non-picklable resources (API clients, model
+    handles) are constructed executor-side — while the remaining
+    parameters keep reading input columns. The synthesized `process`
+    exposes only the column parameters (with the inner fn's already-
+    resolved type hints), so infer_params / infer_output /
+    input_converters work unchanged."""
+
+    def __init__(self, fn: Any, setup_vals: dict[str, Callable]):
+        inner = _process_fn(fn)
+        sig = inspect.signature(inner)
+        order = [
+            p
+            for p in sig.parameters.values()
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)
+        ]
+        names = [p.name for p in order]
+        self.fn = fn
+        self._vals = {k: v for k, v in setup_vals.items() if k in names}
+        self._order = names
+        self._resolved: dict[str, Any] = {}
+        col_params = [p for p in order if p.name not in self._vals]
+        try:
+            hints = get_type_hints(inner)  # resolve in the INNER fn's context
+        except Exception:
+            hints = {}
+
+        def process(*args: Any) -> Any:
+            vals = self._resolved
+            it = iter(args)
+            return inner(*(vals[n] if n in vals else next(it) for n in self._order))
+
+        process.__signature__ = inspect.Signature(  # type: ignore[attr-defined]
+            [p.replace(annotation=inspect.Parameter.empty) for p in col_params]
+        )
+        # resolved type OBJECTS (not strings) -> get_type_hints needs no eval
+        process.__annotations__ = {
+            **{p.name: hints[p.name] for p in col_params if p.name in hints},
+            **({"return": hints["return"]} if "return" in hints else {}),
+        }
+        process.__name__ = getattr(inner, "__name__", "process")
+        self.process = process
+
+    def setup(self) -> None:
+        inner_setup = getattr(self.fn, "setup", None)
+        if callable(inner_setup):
+            inner_setup()
+        self._resolved = {k: v() for k, v in self._vals.items()}
+
+    def teardown(self) -> None:
+        inner = getattr(self.fn, "teardown", None)
+        if callable(inner):
+            inner()
+
+
+def bind_setup(fn: Any, setup_vals: dict[str, Callable] | None) -> Any:
+    """Wrap fn in a SetupAdapter iff any of its parameters name a setup
+    value; otherwise return fn unchanged (zero overhead)."""
+    if not setup_vals:
+        return fn
+    proc = _process_fn(fn)
+    try:
+        names = {
+            p.name
+            for p in inspect.signature(proc).parameters.values()
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)
+        }
+    except (TypeError, ValueError):
+        return fn
+    return SetupAdapter(fn, setup_vals) if names & set(setup_vals) else fn

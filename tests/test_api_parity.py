@@ -237,3 +237,147 @@ def test_is_local_flag(monkeypatch):
     assert dc.is_local() and not dc.is_studio()
     monkeypatch.setenv("DATACHAIN_IS_STUDIO", "true")
     assert dc.is_studio() and not dc.is_local()
+
+
+# ---------- setup() worker-evaluated objects ----------
+
+
+def test_setup_injects_objects_into_map(spark):
+    ch = dc.read_values(spark, text=["a", "bb"])
+    out = ch.setup(prefix=lambda: "P:").map(
+        lambda prefix, text: prefix + text, output={"tagged": str}
+    )
+    assert sorted(r["tagged"] for r in out.df.collect()) == ["P:a", "P:bb"]
+
+
+def test_setup_injects_into_gen_and_respects_order(spark):
+    ch = dc.read_values(spark, n=[2])
+
+    def expand(k, n, suffix):
+        for i in range(n):
+            yield {"v": f"{k}{i}{suffix}"}
+
+    out = ch.setup(k=lambda: "x", suffix=lambda: "!").gen(expand, output={"v": str})
+    assert sorted(r["v"] for r in out.df.collect()) == ["x0!", "x1!"]
+
+
+def test_setup_value_not_evaluated_on_driver(spark):
+    # the callable must run on workers only: a driver-side evaluation
+    # would raise here before any Spark job
+    def boom():
+        raise RuntimeError("must not run on driver at chain-build time")
+
+    ch = dc.read_values(spark, x=[1]).setup(client=boom)
+    assert ch._setup  # registered, not evaluated
+
+    with pytest.raises(Exception, match="must not run on driver"):
+        ch.map(lambda client, x: x, output={"y": int}).df.collect()
+
+
+def test_setup_duplicate_and_noncallable_rejected(spark):
+    ch = dc.read_values(spark, x=[1]).setup(a=lambda: 1)
+    with pytest.raises(ValueError, match="already setup"):
+        ch.setup(a=lambda: 2)
+    with pytest.raises(ValueError, match="callable"):
+        ch.setup(b=3)
+
+
+# ---------- explode ----------
+
+
+def test_explode_json_column(spark):
+    ch = dc.read_values(
+        spark,
+        meta=[
+            '{"a": 1, "b": "x"}',
+            '{"a": 2, "b": "y", "c": [1, 2]}',
+        ],
+    )
+    out = ch.explode("meta", schema_sample_size=2)
+    rows = sorted(
+        (r["meta_expl"]["a"], r["meta_expl"]["b"], r["meta_expl"]["c"])
+        for r in out.df.collect()
+    )
+    assert rows == [(1, "x", None), (2, "y", [1, 2])]
+    # generated model registered (reference dict_to_data_model)
+    assert ModelStore.get("MetaExplodedModel") is not None
+    # the parse is JVM from_json — no Python eval node in the plan
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Eval" not in plan and "PythonUDF" not in plan
+
+
+def test_explode_rejects_non_object(spark):
+    ch = dc.read_values(spark, meta=["[1,2,3]"])
+    with pytest.raises(TypeError, match="JSON"):
+        ch.explode("meta")
+
+
+# ---------- thin delegates ----------
+
+
+def test_apply_clone_column_c(spark):
+    ch = dc.read_values(spark, x=[1, 2])
+    doubled = ch.apply(lambda c: c.mutate(y=c.column("x") * 2))
+    assert sorted(r["y"] for r in doubled.df.collect()) == [2, 4]
+    assert ch.clone().df.collect() == ch.df.collect()
+    with pytest.raises(ValueError, match="not found"):
+        ch.column("nope")
+
+
+def test_empty_hash_results_columnar(spark, sf_dir):
+    ch = dc.read_values(spark, x=[1, 2])
+    assert not ch.empty
+    assert ch.filter(ch.column("x") > 99).empty
+    # plan-identity hash: two chains built the same way over the same
+    # SOURCE hash equal (local in-memory relations get fresh expr ids,
+    # so the guarantee is for real reads — the checkpoint-identity case)
+    p = os.path.join(sf_dir, "region.parquet")
+    a = dc.read_parquet(spark, p).filter("r_regionkey > 0")
+    b = dc.read_parquet(spark, p).filter("r_regionkey > 0")
+    assert a.hash() == b.hash() != dc.read_parquet(spark, p).hash()
+    assert len(ch.hash()) == 8
+    assert sorted(ch.results()) == [(1,), (2,)]
+    names, cols = ch.to_columnar_data_with_names()
+    assert names == ["x"] and sorted(cols[0]) == [1, 2]
+
+
+def test_batch_map_alias(spark):
+    ch = dc.read_values(spark, x=[1, 2])
+    out = ch.batch_map(lambda pdf: pdf.assign(x=pdf.x + 1))
+    assert sorted(r["x"] for r in out.df.collect()) == [2, 3]
+
+
+def test_delta_properties_and_reset_settings(spark):
+    ch = dc.read_values(spark, x=[1])
+    assert ch.delta is False and ch.delta_unsafe is False
+    s = ch.settings(parallel=2)
+    assert s._settings.parallel == 2
+    assert s.reset_settings()._settings.parallel is None
+    assert ch.job is None
+
+
+def test_dataset_provenance(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    ch = Chain(spark.createDataFrame([(1,)], "x int"), catalog_root=root)
+    saved = ch.save("prov_ds")
+    assert saved.name == "prov_ds"
+    assert saved.version is not None
+    assert saved.dataset["name"] == "prov_ds"
+    assert saved.namespace_name == "local" and saved.project_name == "local"
+    again = dc.read_dataset(spark, "prov_ds", catalog_root=root)
+    assert again.name == "prov_ds" and again.version == saved.version
+    # transformations drop provenance
+    assert again.filter(again.column("x") > 0).name is None
+
+
+def test_from_classmethod_aliases(spark):
+    assert sorted(
+        r["x"] for r in Chain.from_values(spark, x=[7, 8]).df.collect()
+    ) == [7, 8]
+
+
+def test_datasets_classmethod(spark, tmp_path):
+    root = str(tmp_path / "cat2")
+    Chain(spark.createDataFrame([(1,)], "x int"), catalog_root=root).save("dsa")
+    ch = Chain.datasets(spark, root)
+    assert [r["name"] for r in ch.df.collect()] == ["dsa"]
