@@ -6,6 +6,7 @@ every function is a Catalyst expression (JVM, codegen). Names and
 signatures follow /root/reference/src/datachain/func/*.
 """
 
+from datachain_spark.functions import random
 from datachain_spark.functions.string import (
     byte_hamming_distance,
     length,
@@ -66,5 +67,5 @@ __all__ = [
     "greatest", "least", "case", "ifelse", "isnone", "or_", "and_", "not_",
     "count", "sum", "avg", "min", "max", "any_value", "collect", "concat",
     "row_number", "rank", "dense_rank", "first", "window",
-    "literal", "rand",
+    "literal", "rand", "random",
 ]
