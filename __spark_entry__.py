@@ -1104,6 +1104,37 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.corpus_stats in exact mode (oracle-verifiable):
+    per-language doc count, token mass, mean, and interpolated p50/p95 of
+    the whitespace token count. The scale path is the approx_percentile
+    sketch (same operator, exact=False)."""
+    from datachain_spark.operators.text import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_stats(docs, "text", group_by="lang", exact=True)
+    return out.select(
+        "lang",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_tokens",
+        "p50_tokens",
+        "p95_tokens",
+    ).orderBy("lang")
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.vocabulary: top-200 tokens of the corpus under the
+    BPE-ish regex tokenizer — explode, one counting shuffle with map-side
+    combine, TakeOrdered. Oracle: DuckDB regexp_extract_all + unnest."""
+    from datachain_spark.operators.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", top_k=200, min_count=2).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
 def explode_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain.explode (reference datachain.py:495-551): JSON metadata
     strings exploded into a typed struct column. The round-trip is
@@ -1207,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fragment_pipeline": audio_fragment_pipeline,
         "read_meta_jsonl": read_meta_jsonl,
         "url_canonical_dedup": url_canonical_dedup,
+        "corpus_token_stats": corpus_token_stats,
+        "corpus_vocabulary": corpus_vocabulary,
         "explode_json_struct": explode_json_struct,
         "pack_sequences_layout": pack_sequences_layout,
     }
@@ -1909,6 +1942,31 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "corpus_token_stats": """
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   round(avg(toks), 6) AS avg_tokens,
+                   round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(toks, 0.95), 6) AS p95_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "corpus_vocabulary": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY token HAVING count(*) >= 2
+            ORDER BY n DESC, token ASC LIMIT 200
         """,
         "explode_json_struct": """
             SELECT doc_id,

@@ -338,3 +338,66 @@ def pack_sequences(
             F.floor((cum - 1) / budget) > seq_id,
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_by: str | Sequence[str] = "lang",
+    percentiles: Sequence[float] = (0.5, 0.95),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group corpus health report — the first dashboard any
+    pretraining-data run needs: document count, token mass, mean tokens,
+    and token-count percentiles per group (language / source / shard).
+
+    Scale: ONE hash-aggregate shuffle on the group key with map-side
+    partial aggregation. Percentiles default to approx_percentile
+    (bounded-memory quantile sketch that merges across partitions — the
+    only sane choice when one group holds billions of documents);
+    `exact=True` switches to Spark's exact interpolated percentile
+    (buffers each group's values — validation/small-corpus mode, and the
+    one DuckDB's quantile_cont can verify value-for-value)."""
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    toks = token_count(F.col(text_col))
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    pct_agg = (
+        F.percentile(toks, pcts)
+        if exact
+        else F.percentile_approx(toks, pcts, accuracy)
+    )
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        pct_agg.alias("_pcts"),
+    )
+    for i, p in enumerate(percentiles):
+        name = f"p{int(round(p * 100)):02d}_tokens"
+        out = out.withColumn(name, F.round(F.col("_pcts")[i], 6))
+    return out.drop("_pcts")
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: token -> document-wide occurrence count, top_k
+    by (count desc, token asc) — the frequency table a tokenizer/BPE
+    training step starts from. Tokenization is the BPE-ish regex
+    (word_tokens), exploded and hash-aggregated.
+
+    Scale: explode -> ONE count shuffle with map-side combine (token
+    cardinality ~ vocabulary size, millions not billions, so the reduce
+    side is small no matter the corpus) -> TakeOrdered for the global
+    top-k (never a full sort)."""
+    counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)

@@ -536,3 +536,47 @@ def test_pack_sequences_layout(spark):
     one = spark.createDataFrame([(0, 1000)], "doc_id int, tokens int")
     r = pack_sequences(one, "tokens", 1000, order_by="doc_id").collect()[0]
     assert (r["seq_id"], r["seq_pos"], r["crosses"]) == (0, 0, False)
+
+
+# ---------- corpus_stats / vocabulary (r5) ----------
+
+
+def test_corpus_stats_exact_literal(spark):
+    from datachain_spark.operators.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [("en", "a b c"), ("en", "a b"), ("en", "one"), ("fr", "un deux")],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in corpus_stats(df, "text", "lang", exact=True).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 3 and en["total_tokens"] == 6
+    assert en["avg_tokens"] == 2.0
+    assert en["p50_tokens"] == 2.0  # sorted [1,2,3] -> interpolated median 2
+    assert rows["fr"]["p95_tokens"] == 2.0
+
+
+def test_corpus_stats_approx_close_to_exact(spark):
+    from datachain_spark.operators.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [("en", " ".join(["w"] * (i % 50 + 1))) for i in range(500)],
+        "lang string, text string",
+    )
+    exact = corpus_stats(df, "text", "lang", exact=True).collect()[0]
+    approx = corpus_stats(df, "text", "lang", exact=False).collect()[0]
+    assert abs(exact["p50_tokens"] - approx["p50_tokens"]) <= 1
+    assert abs(exact["p95_tokens"] - approx["p95_tokens"]) <= 1
+    assert exact["n_docs"] == approx["n_docs"] == 500
+
+
+def test_vocabulary_topk_and_tiebreak(spark):
+    from datachain_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [("b b b a a c x!",), ("a c y?",)], "text string"
+    )
+    rows = [(r["token"], r["n"]) for r in vocabulary(df, "text", top_k=3, min_count=2).collect()]
+    # a:3, b:3, c:2 — count desc then token asc; punctuation tokens are
+    # single chars under the BPE-ish regex and fall under min_count
+    assert rows == [("a", 3), ("b", 3), ("c", 2)]
