@@ -1104,6 +1104,27 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.incremental_dedup: CDC-style streaming corpus dedup
+    against a persistent bucketed fingerprint registry. Two batches (even
+    then odd doc_ids) flow through a fresh registry; the result is batch
+    2's survivors — docs whose normalized text neither appeared in batch 1
+    nor earlier in batch 2. The registry check is bucket-pruned and
+    ledger-idempotent (see test_operators.py replay tests)."""
+    import tempfile
+
+    from datachain_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="fp_registry_")
+    s1 = incremental_dedup(b1, f"{root}/reg", batch_id=0)
+    s1.unpersist()  # registry write already ran eagerly inside the call
+    out = incremental_dedup(b2, f"{root}/reg", batch_id=1, update=False)
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/text.corpus_stats in exact mode (oracle-verifiable):
     per-language doc count, token mass, mean, and interpolated p50/p95 of
@@ -1238,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fragment_pipeline": audio_fragment_pipeline,
         "read_meta_jsonl": read_meta_jsonl,
         "url_canonical_dedup": url_canonical_dedup,
+        "incremental_dedup_batches": incremental_dedup_batches,
         "corpus_token_stats": corpus_token_stats,
         "corpus_vocabulary": corpus_vocabulary,
         "explode_json_struct": explode_json_struct,
@@ -1942,6 +1964,24 @@ def oracle_sql() -> dict[str, str]:
                          i -> abs((((event_id * 31 + i * 7) % 2048) - 1024) * 16)))
                          / frag_n, 6) AS mean_amp
             FROM f ORDER BY event_id
+        """,
+        "incremental_dedup_batches": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            b1 AS (SELECT t FROM n WHERE doc_id % 2 = 0),
+            firsts AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, t,
+                       row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+                FROM n WHERE doc_id % 2 = 1
+              ) WHERE rn = 1
+            )
+            SELECT doc_id FROM firsts
+            WHERE t NOT IN (SELECT t FROM b1)
+            ORDER BY doc_id
         """,
         "corpus_token_stats": """
             WITH t AS (

@@ -580,3 +580,43 @@ def test_vocabulary_topk_and_tiebreak(spark):
     # a:3, b:3, c:2 — count desc then token asc; punctuation tokens are
     # single chars under the BPE-ish regex and fall under min_count
     assert rows == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_incremental_dedup_registry(spark, tmp_path):
+    from datachain_spark.operators.dedup import incremental_dedup
+
+    root = str(tmp_path / "fp_registry")
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    s1 = incremental_dedup(b1, root, batch_id=0)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]  # in-batch dup keeps min id
+    s1.unpersist()
+
+    b2 = spark.createDataFrame([(4, "bbb"), (5, "ccc")], "doc_id long, text string")
+    s2 = incremental_dedup(b2, root, batch_id=1)
+    assert [r["doc_id"] for r in s2.collect()] == [5]  # bbb known from batch 0
+    s2.unpersist()
+
+    # replay of a committed batch: still filters, but the ledger blocks
+    # double-registration
+    s2b = incremental_dedup(b2, root, batch_id=1)
+    assert [r["doc_id"] for r in s2b.collect()] == [5]
+    s2b.unpersist()
+
+    b3 = spark.createDataFrame([(6, "ccc"), (7, "ddd")], "doc_id long, text string")
+    s3 = incremental_dedup(b3, root, batch_id=2)
+    assert [r["doc_id"] for r in s3.collect()] == [7]
+    s3.unpersist()
+
+
+def test_incremental_dedup_normalizes_whitespace_case(spark, tmp_path):
+    from datachain_spark.operators.dedup import incremental_dedup
+
+    root = str(tmp_path / "fp_reg2")
+    b1 = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
+    incremental_dedup(b1, root, batch_id=0).collect()
+    b2 = spark.createDataFrame([(2, " hello world ")], "doc_id long, text string")
+    s = incremental_dedup(b2, root, batch_id=1)
+    assert s.collect() == []  # same doc under normalization
+    s.unpersist()
