@@ -15,7 +15,7 @@ training-data-pipeline extensions the build brief requires.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -642,3 +642,60 @@ def incremental_dedup(
         elif ledger:
             reg.commit(ledger=ledger)
     return survivors.drop("_fp")
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    registry_root: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: T.StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    job_id: str = "dedup_stream",
+    max_files_per_trigger: int = 4,
+) -> list[dict]:
+    """Streaming corpus ingest with exactly-once dedup: a file-source
+    stream of document batches flows through incremental_dedup per
+    microbatch; survivors land in epoch-keyed parquet dirs. Restarting
+    with the same checkpoint resumes where it left off — already-ingested
+    documents stay deduped because the REGISTRY persists across runs,
+    and a replayed epoch is safe end-to-end: Structured Streaming
+    re-delivers the identical file set, incremental_dedup time-travels to
+    its pre-commit registry state (same survivors), and the epoch-keyed
+    overwrite makes the output write idempotent. Run-to-exhaustion
+    (availableNow); returns per-epoch metrics."""
+    import os
+
+    metrics: list[dict] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        surv = incremental_dedup(
+            batch_df,
+            registry_root,
+            text_col=text_col,
+            id_col=id_col,
+            job_id=job_id,
+            batch_id=epoch_id,
+        )
+        surv.drop("_fp", "__bucket").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        n = surv.count()
+        surv.unpersist()
+        metrics.append({"epoch_id": epoch_id, "survivors": n})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return metrics

@@ -620,3 +620,43 @@ def test_incremental_dedup_normalizes_whitespace_case(spark, tmp_path):
     s = incremental_dedup(b2, root, batch_id=1)
     assert s.collect() == []  # same doc under normalization
     s.unpersist()
+
+
+def test_run_dedup_stream_resume_across_runs(spark, tmp_path):
+    """Streaming ingest+dedup: run to exhaustion, land more files, resume
+    with the SAME checkpoint — cross-run duplicates are dropped because
+    the fingerprint registry persists, and already-processed files are
+    not reprocessed."""
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from datachain_spark.operators.dedup import run_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs_dir = str(tmp_path / "docs")
+    reg = str(tmp_path / "registry")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema)\
+        .coalesce(1).write.mode("append").parquet(docs_dir)
+    m1 = run_dedup_stream(spark, docs_dir, reg, ckpt, out, schema)
+    assert sum(m["survivors"] for m in m1) == 2  # alpha once, beta once
+
+    # second wave: one duplicate of run 1, one in-wave duplicate, one new
+    spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, "gamma")], schema)\
+        .coalesce(1).write.mode("append").parquet(docs_dir)
+    m2 = run_dedup_stream(spark, docs_dir, reg, ckpt, out, schema)
+    assert sum(m["survivors"] for m in m2) == 1  # only gamma
+    assert all(m["epoch_id"] > max(x["epoch_id"] for x in m1) for m in m2)
+
+    survivors = spark.read.parquet(*_glob.glob(f"{out}/epoch=*")).collect()
+    texts = sorted(r["text"] for r in survivors)
+    assert texts == ["alpha", "beta", "gamma"]
+    assert sorted(r["doc_id"] for r in survivors) == [1, 2, 5]
