@@ -202,11 +202,20 @@ class Chain:
     def __init__(
         self,
         df: DataFrame,
-        catalog_root: str = DEFAULT_CATALOG,
+        catalog_root: str | None = None,
         delta: bool = False,
         delta_unsafe: bool = False,
         settings: Settings | None = None,
     ):
+        if catalog_root is None:
+            # the active Session owns the catalog (reference Session
+            # semantics, query/session.py): a chain built inside
+            # `with Session(..., catalog_root=r):` saves/reads under r,
+            # so save(name=None) temp datasets land where cleanup() looks
+            from datachain_spark.session import Session
+
+            ctx = Session._CONTEXTS[-1] if Session._CONTEXTS else None
+            catalog_root = ctx.catalog_root if ctx else DEFAULT_CATALOG
         self.df = df
         self.catalog_root = catalog_root
         self._delta = delta
@@ -1112,19 +1121,24 @@ class Chain:
         created on demand (datachain_spark/namespaces.py)."""
         from datachain_spark.namespaces import dataset_root, ensure_dataset_parent
 
+        cat_root = self.catalog_root
         if name is None:
             # ephemeral dataset owned by the active Session (reference
             # datachain.py save(name=None) -> session temp dataset,
-            # query/session.py:43-48); deleted at session cleanup()
+            # query/session.py:43-48); deleted at session cleanup(). BOTH
+            # the name and the catalog root come from the session, so the
+            # temp dataset always lands where cleanup() looks — even for
+            # chains built before the session context was entered
             from datachain_spark.session import Session
 
             sess = Session.get(catalog_root=self.catalog_root)
+            cat_root = sess.catalog_root
             name = self._settings.qualify(sess.generate_temp_dataset_name())
             sess.track_dataset(name)
         else:
             name = self._settings.qualify(name)
-        ensure_dataset_parent(self.catalog_root, name)
-        root = dataset_root(self.catalog_root, name)
+        ensure_dataset_parent(cat_root, name)
+        root = dataset_root(cat_root, name)
         df = self.df
         if not LakeTable.exists(root):
             table = LakeTable.create(
@@ -1177,7 +1191,7 @@ class Chain:
                 if f.endswith(".parquet")
             ]
             table.commit(replace_bucket_files={0: files}, schema=df.schema, tag=ver)
-        return read_dataset(df.sparkSession, name, catalog_root=self.catalog_root)
+        return read_dataset(df.sparkSession, name, catalog_root=cat_root)
 
     # ---------- sinks (reference datachain.py:2352-2667) ----------
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:

@@ -381,3 +381,24 @@ def test_datasets_classmethod(spark, tmp_path):
     Chain(spark.createDataFrame([(1,)], "x int"), catalog_root=root).save("dsa")
     ch = Chain.datasets(spark, root)
     assert [r["name"] for r in ch.df.collect()] == ["dsa"]
+
+
+def test_session_save_uses_session_catalog_for_prebuilt_chain(spark, tmp_path):
+    """A chain built BEFORE the session context still saves its unnamed
+    temp dataset under the session's catalog (name and root must come
+    from the same session, or cleanup misses it)."""
+    ch = dc.read_values(spark, x=[1])  # built outside any session
+    root = str(tmp_path / "sess_cat")
+    with Session("ctx", catalog_root=root, spark=spark):
+        ch.save()
+        assert len(dc.datasets(root)) == 1
+    assert dc.datasets(root) == []
+
+
+def test_chain_inherits_session_catalog_root(spark, tmp_path):
+    root = str(tmp_path / "inherit_cat")
+    with Session("inh", catalog_root=root, spark=spark):
+        ch = dc.read_values(spark, x=[1])
+        assert ch.catalog_root == root
+    ch2 = dc.read_values(spark, x=[1])
+    assert ch2.catalog_root != root
