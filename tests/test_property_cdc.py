@@ -134,3 +134,61 @@ def spark_replay_forced(spark, tmpdir, events):
     return {
         (r["conv_id"], r["turn_idx"]): r["text"] for r in table.read(spark).collect()
     }
+
+
+# ---------- incremental corpus dedup property (r5) ----------
+
+texts_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "AA ", " bb  b"]), min_size=1, max_size=12
+)
+dedup_splits_st = st.lists(st.integers(1, 11), max_size=2, unique=True)
+
+
+def _norm(t: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_st, splits=dedup_splits_st)
+def test_incremental_dedup_matches_naive_set(spark, tmp_path_factory, texts, splits):
+    """For ANY batch boundaries, the union of survivors equals one
+    representative per distinct normalized text — specifically the
+    lowest-id occurrence — and replaying every batch yields the same
+    survivors (ledger + time travel)."""
+    from datachain_spark.operators.dedup import incremental_dedup
+
+    root = str(tmp_path_factory.mktemp("fpreg"))
+    docs = [(i, t) for i, t in enumerate(texts)]
+    cuts = sorted({s for s in splits if s < len(docs)})
+    batches, prev = [], 0
+    for c in [*cuts, len(docs)]:
+        if c > prev:
+            batches.append(docs[prev:c])
+            prev = c
+
+    survivors = []
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        s = incremental_dedup(df, f"{root}/reg", batch_id=bid, num_buckets=4)
+        survivors.extend((r["doc_id"], r["text"]) for r in s.collect())
+        s.unpersist()
+
+    expected = {}
+    for i, t in docs:
+        expected.setdefault(_norm(t), (i, t))
+    assert sorted(survivors) == sorted(expected.values())
+
+    # full replay returns identical survivors, batch by batch
+    replayed = []
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        s = incremental_dedup(df, f"{root}/reg", batch_id=bid, num_buckets=4)
+        replayed.extend((r["doc_id"], r["text"]) for r in s.collect())
+        s.unpersist()
+    assert sorted(replayed) == sorted(survivors)
