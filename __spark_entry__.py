@@ -1204,6 +1204,48 @@ def pack_sequences_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.sample_per_group: per-language deterministic
+    hash-threshold sample (keep 25% en, 100% es, 50% de, 12.5% fr, drop
+    zh). ZERO shuffle — a per-group window sampler would funnel an entire
+    multi-TB source through one task; this is a pure codegen filter whose
+    surviving row set is identical at any parallelism. Oracle: the same
+    md5-derived bucket predicate in DuckDB (integer thresholds, no float
+    crosses the engine boundary)."""
+    from datachain_spark.operators.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_per_group(
+        docs,
+        "lang",
+        {"en": 0.25, "es": 1.0, "de": 0.5, "fr": 0.125},
+        id_col="doc_id",
+        default_fraction=0.0,
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.mix_by_token_budget: LLaMA/Pile-style mixture —
+    weights {src0:3, src1:1, src2:1, src3:5} over a 2000-token budget;
+    each group's keep-threshold = floor(budget·(w/Σw)·RES / group_tokens),
+    capped at 1. Phase 1 is one partially-combined agg collected as O(G)
+    metadata; phase 2 the zero-shuffle hash filter. Oracle recomputes the
+    thresholds from the same data with the identical float-op sequence."""
+    from datachain_spark.operators.sampling import mix_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_by_token_budget(
+        docs,
+        weights={"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 5.0},
+        token_budget=2000,
+        group_col="source",
+        id_col="doc_id",
+        text_col="text",
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1264,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocabulary": corpus_vocabulary,
         "explode_json_struct": explode_json_struct,
         "pack_sequences_layout": pack_sequences_layout,
+        "stratified_sample_docs": stratified_sample_docs,
+        "token_budget_mixture": token_budget_mixture,
     }
 
 
@@ -2039,6 +2083,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN (cum - 1) // 4096 > start // 4096
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
             FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stratified_sample_docs": """
+            -- hash-threshold stratified sample: md5-derived 60-bit bucket,
+            -- integer thresholds = floor(frac * 1e6) for binary-exact fracs
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000)
+                  < CASE lang WHEN 'en' THEN 250000
+                              WHEN 'es' THEN 1000000
+                              WHEN 'de' THEN 500000
+                              WHEN 'fr' THEN 125000
+                              ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "token_budget_mixture": """
+            -- thresholds re-derived from the data with the identical
+            -- float-op sequence: budget * (w/Sum_w) * 1e6 / group_tokens
+            WITH tok AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS toks
+              FROM documents
+            ), gt AS (
+              SELECT source, CAST(sum(toks) AS BIGINT) AS gtoks
+              FROM tok GROUP BY source
+            ), th AS (
+              SELECT source,
+                     CASE WHEN gtoks <= 0 THEN 0
+                          ELSE LEAST(1000000, CAST(floor(
+                            2000 * (CASE source WHEN 'src0' THEN 3.0
+                                                WHEN 'src1' THEN 1.0
+                                                WHEN 'src2' THEN 1.0
+                                                WHEN 'src3' THEN 5.0
+                                                ELSE 0.0 END / 10.0)
+                            * 1000000 / gtoks) AS BIGINT))
+                     END AS thresh
+              FROM gt
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN th ON d.source = th.source
+            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000) < th.thresh
+            ORDER BY d.doc_id
         """,
         "url_canonical_dedup": """
             -- ground-truth canonical form of url_canonical_dedup's
