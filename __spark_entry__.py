@@ -1246,6 +1246,29 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def dedup_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.dedup_spans: Lee et al. 2021 substring dedup —
+    every repeated k-token window is cut from all but its first global
+    occurrence (k=8 here; 50 in the paper). Duplicated spans are PLANTED
+    by appending a 9-token snippet shared within doc_id%5 groups, so each
+    group's first doc keeps it and every other doc has it excised; the
+    corpus's natural repeated 8-grams dedup too. Oracle: the identical
+    window/first-occurrence/coverage pipeline in DuckDB over the same
+    planted text."""
+    from datachain_spark.operators.dedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1200)
+    snip = F.concat(
+        F.lit("shared span block "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" alpha beta gamma delta epsilon"),
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), snip).alias("text")
+    )
+    return dedup_spans(planted, k=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1308,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_layout": pack_sequences_layout,
         "stratified_sample_docs": stratified_sample_docs,
         "token_budget_mixture": token_budget_mixture,
+        "dedup_spans_corpus": dedup_spans_corpus,
     }
 
 
@@ -2083,6 +2107,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN (cum - 1) // 4096 > start // 4096
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
             FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_spans_corpus": """
+            -- identical window/first-occurrence/coverage pipeline; the
+            -- winner per span is (doc_id,pos)-lexicographic first, same
+            -- total order as Spark's min(struct(id,pos))
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(
+                       text || ' ' || 'shared span block '
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || ' alpha beta gamma delta epsilon'
+                     )), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents WHERE doc_id < 1200
+            ), w0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+                            i -> struct_pack(pos := i,
+                                span := array_to_string(t[i+1:i+8], ' ')))) AS ws
+              FROM d
+            ), f AS (
+              SELECT doc_id, ws.pos AS pos,
+                     row_number() OVER (PARTITION BY ws.span
+                                        ORDER BY doc_id, ws.pos) AS rn
+              FROM w0
+            ), cov AS (
+              SELECT DISTINCT doc_id, pos + j AS idx
+              FROM f, unnest(range(0, 8)) AS r(j)
+              WHERE rn > 1
+            ), tokidx AS (
+              SELECT doc_id, unnest(list_transform(range(0, len(t)),
+                             i -> struct_pack(idx := i, tok := t[i+1]))) AS ti
+              FROM d
+            ), kept AS (
+              SELECT k.doc_id, k.ti.idx AS idx, k.ti.tok AS tok
+              FROM tokidx k LEFT JOIN cov c
+                ON k.doc_id = c.doc_id AND k.ti.idx = c.idx
+              WHERE c.doc_id IS NULL
+            ), reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_kept,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text_kept, '') AS text_kept,
+                   CAST(len(d.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+                   CAST(len(d.t) AS BIGINT) AS n_tokens
+            FROM d LEFT JOIN reb r ON d.doc_id = r.doc_id
+            ORDER BY d.doc_id
         """,
         "stratified_sample_docs": """
             -- hash-threshold stratified sample: md5-derived 60-bit bucket,

@@ -699,3 +699,83 @@ def run_dedup_stream(
     )
     q.awaitTermination()
     return metrics
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Span-level (substring) dedup: remove every repeated k-token window
+    from all but its first occurrence across the WHOLE corpus — the
+    "Deduplicating Training Data Makes Language Models Better" rule
+    (Lee et al. 2021, k=50), the only dedup level that catches boilerplate
+    embedded inside otherwise-unique documents. Completes the family:
+    exact (doc), MinHash/SimHash/Jaccard (near-doc), C4 lines, spans.
+    Returns (id, text_kept, n_removed, n_tokens).
+
+    Distributed shape (the paper's suffix array is a single-machine
+    structure; this is the shuffle-native equivalent):
+      1. window hashes per doc — ONE codegen transform over the token
+         array, posexploded to O(total_tokens) 8-byte rows (same regime
+         as the vocabulary / ngram-index ops, never all-pairs);
+      2. first occurrence per window = min(struct(id,pos)) — a
+         partial-combining agg, so a boilerplate span repeated 10^6 times
+         collapses map-side instead of flooding one reducer;
+      3. later occurrences join back on the 8-byte hash (the windows
+         exchange is reused by Catalyst for agg and join) and group into
+         per-doc deletion offset lists — only DUPLICATED occurrences
+         survive to this shuffle, typically a tiny fraction;
+      4. rebuild — a per-doc filter((tok,i) -> no deletion covers i)
+         higher-order expression: O(len·dels) inside codegen, bounded by
+         document length, zero Python.
+
+    Overlapping deleted windows merge implicitly via the coverage test.
+    A later in-doc repeat of a span is deleted too (one global copy
+    survives, exactly the paper's semantics). Hash collisions (xxhash64,
+    ~1/2^64) can only over-delete a colliding span, never corrupt
+    reassembly — offsets come from the doc's own rows.
+    """
+    toks = F.split(normalize_for_dedup(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
+    )
+    # sequence(0, n-k) descends when n<k — guard to an empty window list
+    whashes = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__n") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    win = base.select("__id", F.posexplode(whashes).alias("__pos", "__h"))
+    firsts = (
+        win.groupBy("__h")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__w"), F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__h", "__w")
+    )
+    dels = (
+        win.join(firsts, "__h")
+        .filter(
+            (F.col("__id") != F.col("__w.__id")) | (F.col("__pos") != F.col("__w.__pos"))
+        )
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__dels"))
+    )
+    out = base.join(dels, "__id", "left").withColumn(
+        "__dels", F.coalesce(F.col("__dels"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda t, i: ~F.exists(F.col("__dels"), lambda p: (i >= p) & (i < p + k)),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("text_kept"),
+        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.col("__n").cast("long").alias("n_tokens"),
+    )

@@ -660,3 +660,43 @@ def test_run_dedup_stream_resume_across_runs(spark, tmp_path):
     texts = sorted(r["text"] for r in survivors)
     assert texts == ["alpha", "beta", "gamma"]
     assert sorted(r["doc_id"] for r in survivors) == [1, 2, 5]
+
+
+def test_dedup_spans_semantics(spark):
+    """Lee et al. substring-dedup rules: global first occurrence keeps the
+    span, every later occurrence (cross-doc AND in-doc) is excised,
+    overlapping deletions merge, unique text is untouched."""
+    from datachain_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "prefix two a b c d e f g h"),
+            (3, "x y z totally unique words here"),
+            (4, "a b c d e f g h a b c d e f g h"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_spans(df, k=8).collect()}
+    assert got[1].text_kept == "a b c d e f g h tail one"
+    assert got[2].text_kept == "prefix two" and got[2].n_removed == 8
+    assert got[3].n_removed == 0
+    assert got[4].text_kept == "" and got[4].n_removed == 16  # in-doc repeat too
+    assert got[5].text_kept == "" and got[5].n_removed == 0
+
+
+def test_dedup_spans_partition_invariant_and_no_python(spark):
+    from datachain_spark.operators.dedup import dedup_spans
+
+    rows = [(i, f"head {i} shared span block x y z w q common tail {i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_spans(df, k=8)
+    base = sorted((r.doc_id, r.text_kept, r.n_removed) for r in out.collect())
+    repart = sorted(
+        (r.doc_id, r.text_kept, r.n_removed)
+        for r in dedup_spans(df.repartition(13), k=8).collect()
+    )
+    assert repart == base
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # higher-order codegen only
