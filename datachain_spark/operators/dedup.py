@@ -723,10 +723,15 @@ def dedup_spans(
       2. first occurrence per window = min(struct(id,pos)) — a
          partial-combining agg, so a boilerplate span repeated 10^6 times
          collapses map-side instead of flooding one reducer;
-      3. later occurrences join back on the 8-byte hash (the windows
-         exchange is reused by Catalyst for agg and join) and group into
+      3. later occurrences join back on the 8-byte hash and group into
          per-doc deletion offset lists — only DUPLICATED occurrences
-         survive to this shuffle, typically a tiny fraction;
+         survive to this shuffle, typically a tiny fraction. The window
+         subtree is deliberately COMPUTED TWICE (once into the agg, once
+         into the join): recomputing a codegen scan+transform is cheaper
+         at corpus scale than caching O(total_tokens) rows, and the
+         min-struct agg keeps map-side combine that the one-pass
+         row_number-window alternative would lose — a viral span repeated
+         10^6 times would land 10^6 raw rows on one reducer there;
       4. rebuild — a per-doc filter((tok,i) -> no deletion covers i)
          higher-order expression: O(len·dels) inside codegen, bounded by
          document length, zero Python.

@@ -30,6 +30,10 @@ HEADLINE = [
     "ngram_jaccard_near_dups",
     "lsh_topk_ann",
     "ivf_topk_kmeans",
+    # r5 additions
+    "dedup_spans_corpus",
+    "stratified_sample_docs",
+    "token_budget_mixture",
 ]
 
 
