@@ -25,6 +25,7 @@ from datachain_spark.chain import (
     DeltaDisabledError,
     datasets,
     delete_dataset,
+    edit_dataset,
     move_dataset,
     read_csv,
     read_database,
@@ -154,6 +155,7 @@ __all__ = [
     "create_project",
     "datasets",
     "delete_dataset",
+    "edit_dataset",
     "delete_namespace",
     "get_file_type",
     "get_spark",

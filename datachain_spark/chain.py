@@ -1105,10 +1105,22 @@ class Chain:
         version: str | None = None,
         key_cols: Sequence[str] | None = None,
         num_buckets: int | None = None,
+        description: str | None = None,
+        attrs: Sequence[str] | None = None,
+        update_version: str = "patch",
     ) -> "Chain":
         """Materialize as a new version of dataset `name` (semver-tagged
         LakeTable snapshot; reference catalog.py:796-890 + dataset
-        versioning dataset.py:240-360). Auto-bumps the patch version.
+        versioning dataset.py:240-360). Auto-bumps the patch version
+        (`update_version=` picks major/minor/patch, reference
+        datachain.py:618-641).
+
+        `description`/`attrs` are DATASET-level metadata (reference
+        dataset.py:423-424: they live on the dataset record, not the
+        version): stored as `dataset.*` snapshot props, inherited by every
+        later commit until overwritten by another save(description=...) or
+        edit_dataset(). `attrs` entries are bare ("NLP") or valued
+        ("location=US") strings.
 
         `key_cols`/`num_buckets` select a BUCKETED layout (hash of the
         first key column), making the saved dataset a first-class CDC
@@ -1154,7 +1166,12 @@ class Chain:
                     f"dataset {name!r} already has key_cols="
                     f"{table.snapshot().key_cols}; cannot re-key on save"
                 )
-        ver = version or _next_semver(table)
+        ver = version or _next_semver(table, update_version)
+        dprops: dict = {}
+        if description is not None:
+            dprops["dataset.description"] = description
+        if attrs is not None:
+            dprops["dataset.attrs"] = list(attrs)
         out_dir = table.data_dir(f"save={table.current_version() + 1}")
         snap_keys = table.snapshot().key_cols
         if snap_keys:
@@ -1182,7 +1199,9 @@ class Chain:
             # full-snapshot semantics even on a pre-existing table
             for b in range(table.num_buckets):
                 replace.setdefault(b, [])
-            table.commit(replace_bucket_files=replace, schema=df.schema, tag=ver)
+            table.commit(
+                replace_bucket_files=replace, schema=df.schema, tag=ver, props=dprops
+            )
         else:
             df.write.mode("overwrite").parquet(out_dir)
             files = [
@@ -1190,7 +1209,9 @@ class Chain:
                 for f in sorted(os.listdir(out_dir))
                 if f.endswith(".parquet")
             ]
-            table.commit(replace_bucket_files={0: files}, schema=df.schema, tag=ver)
+            table.commit(
+                replace_bucket_files={0: files}, schema=df.schema, tag=ver, props=dprops
+            )
         return read_dataset(df.sparkSession, name, catalog_root=cat_root)
 
     # ---------- sinks (reference datachain.py:2352-2667) ----------
@@ -1290,7 +1311,11 @@ def _partial_struct(prefix: str, rests: list[str]) -> Column:
     return F.struct(*cols)
 
 
-def _next_semver(table: LakeTable) -> str:
+def _next_semver(table: LakeTable, update_version: str = "patch") -> str:
+    if update_version not in ("major", "minor", "patch"):
+        raise ValueError(
+            f"update_version must be major/minor/patch, got {update_version!r}"
+        )
     best = (0, 0, 0)
     for v in table.versions():
         tag = table.snapshot(v).tag
@@ -1298,6 +1323,10 @@ def _next_semver(table: LakeTable) -> str:
             best = max(best, tuple(int(x) for x in tag[1:].split(".")))
     if best == (0, 0, 0):
         return "v1.0.0"
+    if update_version == "major":
+        return f"v{best[0] + 1}.0.0"
+    if update_version == "minor":
+        return f"v{best[0]}.{best[1] + 1}.0"
     return f"v{best[0]}.{best[1]}.{best[2] + 1}"
 
 
@@ -1504,6 +1533,35 @@ def move_dataset(src: str, dest: str, catalog_root: str = DEFAULT_CATALOG) -> No
         raise FileExistsError(f"dataset {dest!r} already exists under {catalog_root}")
     os.makedirs(os.path.dirname(dest_root), exist_ok=True)
     os.rename(src_root, dest_root)
+
+
+def edit_dataset(
+    name: str,
+    catalog_root: str = DEFAULT_CATALOG,
+    new_name: str | None = None,
+    description: str | None = None,
+    attrs: Sequence[str] | None = None,
+) -> None:
+    """Edit dataset-level metadata and/or rename a dataset (reference
+    catalog.py:1560-1582 edit_dataset: new_name/description/attrs, each
+    only applied when given). description/attrs land as a metadata-only
+    commit (`dataset.*` props; no data rewritten, time travel intact);
+    rename delegates to move_dataset — new_name may be qualified
+    (`ns.proj.name`), creating the target project on demand."""
+    from datachain_spark.namespaces import dataset_root
+
+    root = dataset_root(catalog_root, name)
+    if not LakeTable.exists(root):
+        raise DatasetNotFoundError(f"dataset {name!r} not found under {catalog_root}")
+    updates: dict = {}
+    if description is not None:
+        updates["dataset.description"] = description
+    if attrs is not None:
+        updates["dataset.attrs"] = list(attrs)
+    if updates:
+        LakeTable(root).edit_props(updates)
+    if new_name and new_name != name:
+        move_dataset(name, new_name, catalog_root=catalog_root)
 
 
 def datasets(

@@ -78,6 +78,15 @@ def _build_parser() -> argparse.ArgumentParser:
     ds_mv.add_argument("src")
     ds_mv.add_argument("dest")
     ds_mv.add_argument("--catalog", default=None)
+    ds_ed = ds_sub.add_parser("edit", help="edit dataset metadata")
+    ds_ed.add_argument("name")
+    ds_ed.add_argument("--new-name", default=None)
+    ds_ed.add_argument("--description", default=None)
+    ds_ed.add_argument(
+        "--attrs", default=None,
+        help="comma-separated attributes, e.g. NLP,location=US",
+    )
+    ds_ed.add_argument("--catalog", default=None)
 
     q = sub.add_parser("query", help="run a python query script")
     q.add_argument("script")
@@ -231,6 +240,16 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None,
         if args.ds_cmd == "mv":
             move_dataset(args.src, args.dest, catalog_root=root)
             emit(f"moved {args.src} -> {args.dest}")
+            return 0
+        if args.ds_cmd == "edit":
+            from datachain_spark.chain import edit_dataset
+
+            edit_dataset(
+                args.name, catalog_root=root, new_name=args.new_name,
+                description=args.description,
+                attrs=args.attrs.split(",") if args.attrs is not None else None,
+            )
+            emit(f"edited {args.name}")
             return 0
 
     if args.cmd == "query":

@@ -28,9 +28,30 @@ INFO_SCHEMA = T.StructType(
         T.StructField("created_at", T.TimestampType(), True),
         T.StructField("num_objects", T.LongType(), True),
         T.StructField("size", T.LongType(), True),
-        T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), True),
+        # dataset-level metadata (reference lib/dataset_info.py:30-41
+        # DatasetInfo.description / .attrs): attrs are bare ("NLP") or
+        # valued ("location=US") strings
+        T.StructField("description", T.StringType(), True),
+        T.StructField("attrs", T.ArrayType(T.StringType()), True),
     ]
 )
+
+
+def has_attr(attrs: list[str], attr: str) -> bool:
+    """Reference DatasetInfo.has_attr (lib/dataset_info.py:44-58): bare
+    `"NLP"` matches exactly; `"location=US"` matches that value;
+    `"location=*"` matches any value of that name."""
+    s = attr.split("=")
+    if len(s) == 1:
+        return attr in attrs
+    name, value = s[0], s[1]
+    for a in attrs:
+        p = a.split("=")
+        if value == "*" and p[0] == name:
+            return True
+        if len(p) == 2 and p[0] == name and p[1] == value:
+            return True
+    return False
 
 
 def _live_stats(table) -> tuple[int | None, int | None]:
@@ -53,9 +74,12 @@ def datasets_info(
     catalog_root: str | None = None,
     namespace: str | None = None,
     project: str | None = None,
+    attrs: list[str] | None = None,
 ) -> DataFrame:
     """One info row per registered dataset (reference datasets();
-    lib/dc/datasets.py:225-280 with its DatasetInfo payload)."""
+    lib/dc/datasets.py:225-280 with its DatasetInfo payload). `attrs=`
+    filters on dataset attributes with the reference's has_attr semantics
+    (every given attr must match; lib/dc/datasets.py:274-276)."""
     from datachain_spark.chain import DEFAULT_CATALOG, datasets
     from datachain_spark.lake.table import LakeTable
     from datachain_spark.namespaces import (
@@ -75,6 +99,9 @@ def datasets_info(
         tag = tags[-1] if tags else None
         created = table.snapshot(versions[0]).created_at or None
         n, size = _live_stats(table)
+        ds_attrs = [str(a) for a in (head.props or {}).get("dataset.attrs", [])]
+        if attrs and not all(has_attr(ds_attrs, a) for a in attrs):
+            continue
         rows.append(
             (
                 bare,
@@ -88,10 +115,11 @@ def datasets_info(
                 datetime.datetime.fromtimestamp(created) if created else None,
                 n,
                 size,
-                {k: str(v) for k, v in (head.props or {}).items()},
+                (head.props or {}).get("dataset.description"),
+                ds_attrs,
             )
         )
     return spark.createDataFrame(rows, INFO_SCHEMA)
 
 
-__all__ = ["INFO_SCHEMA", "datasets_info"]
+__all__ = ["INFO_SCHEMA", "datasets_info", "has_attr"]

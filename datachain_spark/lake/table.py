@@ -394,6 +394,16 @@ class LakeTable:
             committed = {j: [list(r) for r in rs] for j, rs in parent.committed.items()}
             if ledger is not None and "job_id" in ledger and "batch_id" in ledger:
                 _add_committed(committed, str(ledger["job_id"]), int(ledger["batch_id"]))
+            # dataset-level metadata (description/attrs, stored under
+            # `dataset.*` keys; reference dataset.py:423-424 description +
+            # attrs live on the dataset record, not the version) is
+            # INHERITED across commits — a new save/apply/compaction must
+            # not wipe it. Per-commit props (e.g. {"compaction": True})
+            # stay per-commit.
+            merged_props = {
+                k: v for k, v in parent.props.items() if k.startswith("dataset.")
+            }
+            merged_props.update(props or {})
             snap = Snapshot(
                 version=parent.version + 1,
                 parent=parent.version,
@@ -406,7 +416,7 @@ class LakeTable:
                 tag=tag,
                 ledger=ledger,
                 committed=committed,
-                props=props or {},
+                props=merged_props,
                 created_at=time.time(),
             )
             self._write_manifest(snap)
@@ -435,10 +445,42 @@ class LakeTable:
             dirty=dict(src.dirty),
             tag=tag,
             committed={j: [list(r) for r in rs] for j, rs in src.committed.items()},
+            props={k: v for k, v in src.props.items() if k.startswith("dataset.")},
             created_at=time.time(),
         )
         self._write_manifest(snap)
         return snap.version
+
+    def edit_props(self, updates: dict[str, Any]) -> int:
+        """Metadata-only commit updating dataset-level props (the storage
+        behind edit_dataset — reference catalog.py:1560-1582 update_dataset
+        with description/attrs). A key mapped to None is REMOVED; all other
+        `dataset.*` keys are inherited. Serialized under the commit lock so
+        an edit racing an apply/compaction commit cannot clobber a version."""
+        with self._commit_lock:
+            src = self.snapshot()
+            props = {k: v for k, v in src.props.items() if k.startswith("dataset.")}
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = v
+            snap = Snapshot(
+                version=self.current_version() + 1,
+                parent=src.version,
+                schema_json=src.schema_json,
+                num_buckets=src.num_buckets,
+                key_cols=src.key_cols,
+                buckets=dict(src.buckets),
+                watermarks=dict(src.watermarks),
+                dirty=dict(src.dirty),
+                tag=src.tag,
+                committed={j: [list(r) for r in rs] for j, rs in src.committed.items()},
+                props=props,
+                created_at=time.time(),
+            )
+            self._write_manifest(snap)
+            return snap.version
 
     # ---------- compaction ----------
     def compact(
