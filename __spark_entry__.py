@@ -445,6 +445,38 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
+def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup; Abbas et al. 2023): k-means clusters (md5 hash-rank
+    seeds, 2 Lloyd iterations, round_to=6 — the same DuckDB-reproducible
+    recipe as ivf_topk_kmeans), then within each cluster greedily drop
+    docs cosine-similar (>=0.95) to an earlier-ranked member, rank =
+    farthest-from-centroid first. Duplicates are PLANTED (each vec_id <
+    200 copied to vec_id+10000 — the natural corpus has none above 0.5):
+    every copy ties its original on centroid distance, loses the id
+    tiebreak, and must be dropped; every original must survive. The
+    oracle re-trains the centroids in SQL and replays the same greedy
+    rule."""
+    from datachain_spark.operators.similarity import (
+        semantic_dedup,
+        train_centroids_kmeans,
+    )
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    allv = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    cents = train_centroids_kmeans(allv, k=4, iters=2, hash_mode="md5", round_to=6)
+    out = semantic_dedup(allv, cents, eps=0.95)
+    return out.select(
+        "vec_id", "cell", F.round("centroid_dist", 3).alias("centroid_dist"), "kept"
+    ).orderBy("vec_id")
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with PLANTED deterministic PII (the
     synthetic corpus has none): each doc gets an email, an IPv4, and an
@@ -1296,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "lsh_topk_ann": lsh_topk_ann,
         "ivf_topk_kmeans": ivf_topk_kmeans,
+        "semantic_dedup_kept": semantic_dedup_kept,
         "pii_scrub": pii_scrub,
         "decontaminate_corpus": decontaminate_corpus,
         "gopher_repetition": gopher_repetition,
@@ -1653,6 +1686,79 @@ def _ivf_topk_oracle_sql() -> str:
         SELECT q_id, vec_id, round(cs, 3) AS cos_sim,
                row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rk
         FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk
+    """
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Re-trains the same k-means centroids as _ivf_topk_oracle_sql (md5
+    hash-rank seeds over the PLANTED corpus, two Lloyd iterations, means
+    quantized to 6 decimals), then replays semantic_dedup's greedy rule in
+    SQL: a doc is dropped iff some same-cluster doc ranked earlier
+    (centroid distance DESC, id ASC — distances rounded to 6 decimals
+    exactly as the operator rounds before comparing) has cosine >= 0.95."""
+    seed_hash = "CAST(('0x' || substr(md5(printf('%d', vec_id)), 1, 15)) AS BIGINT)"
+
+    def means(assigned: str, seeds: str) -> str:
+        return f"""
+          SELECT s.cell, coalesce(m.c, s.c) AS c
+          FROM {seeds} s LEFT JOIN (
+            SELECT cell, list(round(mv, 6) ORDER BY i) AS c
+            FROM (
+              SELECT a.cell, t.i, sum(a.v[t.i]) / count(*) AS mv
+              FROM {assigned} a CROSS JOIN range(1, 65) t(i)
+              GROUP BY a.cell, t.i
+            ) GROUP BY cell
+          ) m ON s.cell = m.cell
+        """
+
+    return f"""
+        WITH base0 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 200
+        ),
+        base AS (
+          SELECT vec_id, v FROM base0
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, v FROM base0
+        ),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY {seed_hash}) - 1 AS cell, v AS c
+          FROM base ORDER BY {seed_hash} LIMIT 4
+        ),
+        a1 AS (
+          SELECT b.vec_id, b.v, s.cell
+          FROM base b CROSS JOIN seeds s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        c1 AS ({means('a1', 'seeds')}),
+        a2 AS (
+          SELECT b.vec_id, b.v, s.cell
+          FROM base b CROSS JOIN c1 s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        c2 AS ({means('a2', 'c1')}),
+        inv AS (
+          SELECT b.vec_id, b.v, s.cell,
+                 round(1 - list_cosine_similarity(b.v, s.c), 6) AS cdist
+          FROM base b CROSS JOIN c2 s
+          QUALIFY row_number() OVER (
+            PARTITION BY b.vec_id
+            ORDER BY 1 - list_cosine_similarity(b.v, s.c) ASC, s.cell ASC) = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT l.vec_id
+          FROM inv l JOIN inv r ON l.cell = r.cell
+           AND (r.cdist > l.cdist OR (r.cdist = l.cdist AND r.vec_id < l.vec_id))
+          WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.95
+        )
+        SELECT i.vec_id, i.cell, round(i.cdist, 3) AS centroid_dist,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM inv i LEFT JOIN dropped d ON i.vec_id = d.vec_id
+        ORDER BY i.vec_id
     """
 
 
@@ -2229,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_near_dups": _ngram_jaccard_oracle_sql(),
         "lsh_topk_ann": _lsh_topk_oracle_sql(),
         "ivf_topk_kmeans": _ivf_topk_oracle_sql(),
+        "semantic_dedup_kept": _semantic_dedup_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "decontaminate_corpus": _decontaminate_oracle_sql(),
         "webdataset_roundtrip": """

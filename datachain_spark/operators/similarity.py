@@ -287,6 +287,75 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then within each
+    cluster greedily drop documents whose cosine similarity to an
+    EARLIER-RANKED cluster member is >= `eps`. Rank order follows the
+    paper's keep-low-centroid-similarity policy: farthest-from-centroid
+    first (centroid cosine distance DESC), id ASC tiebreak — so of an
+    eps-duplicate group the member farthest from the cluster centroid
+    survives (edge examples carry the most training signal).
+
+    Scale shape: assignment is a narrow map over centroid literals (no
+    shuffle); the pairwise pass is an equi-self-join on the CLUSTER id, so
+    comparisons are bounded per cluster — k controls the partition
+    granularity exactly as in the paper (they run k=50k on LAION). Never
+    all-pairs across clusters, nothing collected to the driver.
+
+    Determinism: centroid distances and pair similarities are rounded to
+    `round_to` decimals before any comparison, so rank order and the
+    drop set are reproducible across cluster sizes — and in a DuckDB
+    oracle (pass centroids from train_centroids_kmeans(round_to=6,
+    hash_mode='md5')). Exact duplicates tie on distance and resolve by
+    id, keeping the lowest id.
+
+    Returns one row per input doc: (id, cell, centroid_dist, kept 0/1).
+    Filter kept=1 to materialize the deduplicated corpus."""
+    assigned = ivf_assign(df, centroids, vec_col, nprobe=1).withColumn(
+        "__cell", F.element_at("__cell", 1)
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    own = F.element_at(cent_arr, F.col("__cell") + 1)
+    assigned = assigned.withColumn(
+        "__cdist", F.round(cosine_distance(F.col(vec_col), own), round_to)
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    earlier = (F.col("r.__cdist") > F.col("l.__cdist")) | (
+        (F.col("r.__cdist") == F.col("l.__cdist"))
+        & (F.col(f"r.{id_col}") < F.col(f"l.{id_col}"))
+    )
+    dropped = (
+        l.join(r, (F.col("l.__cell") == F.col("r.__cell")) & earlier)
+        .filter(
+            F.round(
+                cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")),
+                round_to,
+            )
+            >= eps
+        )
+        .select(F.col(f"l.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("__cdist").alias("centroid_dist"),
+            F.when(F.col("__dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

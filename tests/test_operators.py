@@ -700,3 +700,30 @@ def test_dedup_spans_partition_invariant_and_no_python(spark):
     assert repart == base
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # higher-order codegen only
+
+
+def test_semantic_dedup_greedy_keep_farthest(spark):
+    """SemDeDup rule: within a cluster, a doc is dropped iff an
+    earlier-ranked member (farther from the centroid; id tiebreak) is
+    cosine-similar above eps — so the FARTHEST-from-centroid member of a
+    duplicate group survives, and cross-group members are untouched."""
+    from datachain_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),  # cluster 0, nearest the centroid — dup of 2 -> dropped
+        (2, [1.0, 0.05]),  # cluster 0, farther out -> survives its dup group
+        (3, [0.9, 0.6]),  # cluster 0, not similar to 1/2 -> kept
+        (4, [0.0, 1.0]),  # cluster 1, on the centroid — dup of 5 -> dropped
+        (5, [0.05, 1.0]),  # cluster 1, farther out -> survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], eps=0.95)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert {k for k, r in got.items() if r["kept"] == 1} == {2, 3, 5}
+    assert got[1]["cell"] == got[2]["cell"] == got[3]["cell"] == 0
+    assert got[4]["cell"] == got[5]["cell"] == 1
+    # exact ties on centroid distance resolve by id: planted exact copies
+    copies = df.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    out2 = semantic_dedup(df.unionByName(copies), [[1.0, 0.0], [0.0, 1.0]], eps=0.95)
+    kept2 = {r["vec_id"] for r in out2.collect() if r["kept"] == 1}
+    assert kept2 == {2, 3, 5}  # every +100 copy ties its original and loses
