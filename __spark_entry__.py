@@ -1301,6 +1301,38 @@ def dedup_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(planted, k=8).orderBy("doc_id")
 
 
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/retrieval: inverted-index BM25 top-10 for the query
+    'spark window merge' over documents. Index build is ONE explode +
+    hash-agg shuffle; search touches only the query terms' postings
+    (term filter pushed to the scan on a saved index), idf from an O(|q|)
+    broadcast, top-k via TakeOrderedAndProject. Oracle recomputes the
+    identical postings, N/avgdl, Lucene-form idf, and BM25 arithmetic in
+    SQL; scores rounded to 6 before the (score desc, doc_id) tie-break so
+    the top-k set is order-deterministic in both engines."""
+    from datachain_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark window merge", k=10)
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.dsir_select: DSIR importance resampling (Xie et
+    al. 2023) — keep the 60 documents whose hashed unigram+bigram
+    distribution is most target-like, target = the Spanish slice. Fit =
+    two O(B)-cardinality bucket-count aggregates (B=64 here); scoring is a
+    ZERO-shuffle codegen F.aggregate over the gram array with the λ table
+    as plan literals; top-n via TakeOrderedAndProject. Oracle re-derives
+    the bucket counts, add-1-smoothed log ratios, and per-doc sums from
+    first principles in SQL (same md5 bucket hash, same glibc ln)."""
+    from datachain_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "es")
+    out = dsir_select(docs, target, 60, n_buckets=64)
+    return out.select("doc_id", "lang", "dsir_score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1365,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "token_budget_mixture": token_budget_mixture,
         "dedup_spans_corpus": dedup_spans_corpus,
+        "bm25_search_topk": bm25_search_topk,
+        "dsir_importance_select": dsir_importance_select,
     }
 
 
@@ -2213,6 +2247,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN (cum - 1) // 4096 > start // 4096
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
             FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bm25_search_topk": """
+            -- same postings, norms, Lucene-form idf, and BM25 arithmetic
+            -- from first principles; round(score,6) before the tie-break
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+              FROM documents
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(len(ts) AS DOUBLE)) AS avgdl
+              FROM toks
+            ),
+            posts AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks
+            ),
+            tf AS (
+              SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+              FROM posts WHERE term IN ('spark', 'window', 'merge')
+              GROUP BY term, doc_id, dl
+            ),
+            dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                     ), 6) AS score,
+                     CAST(count(*) AS BIGINT) AS n_terms
+              FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score, n_terms FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "dsir_importance_select": """
+            -- DSIR from first principles: hashed unigram+bigram buckets
+            -- (same md5 60-bit hash), add-1-smoothed target/raw bucket
+            -- log-probs, per-doc summed log ratio, deterministic top-60
+            WITH tok AS (
+              SELECT doc_id, lang, regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     list_concat(ts, CASE WHEN len(ts) >= 2
+                       THEN list_transform(range(1, len(ts)),
+                                           i -> ts[i] || ' ' || ts[i+1])
+                       ELSE [] END) AS gs
+              FROM tok
+            ),
+            occ AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 64 AS b
+              FROM (SELECT doc_id, lang, unnest(gs) AS g FROM grams)
+            ),
+            tcnt AS (SELECT b, count(*) AS c FROM occ WHERE lang = 'es' GROUP BY b),
+            ttot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM occ WHERE lang = 'es'),
+            rcnt AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
+            rtot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM occ),
+            lam AS (
+              SELECT r.b,
+                     ln((coalesce(t.c, 0) + 1.0) / ((SELECT t FROM ttot) + 64.0))
+                     - ln((r.c + 1.0) / ((SELECT t FROM rtot) + 64.0)) AS l
+              FROM rcnt r LEFT JOIN tcnt t USING (b)
+            ),
+            scored AS (
+              SELECT o.doc_id, any_value(o.lang) AS lang,
+                     round(sum(l.l), 6) AS dsir_score
+              FROM occ o JOIN lam l USING (b)
+              GROUP BY o.doc_id
+            )
+            SELECT doc_id, lang, dsir_score FROM scored
+            ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
         """,
         "dedup_spans_corpus": """
             -- identical window/first-occurrence/coverage pipeline; the

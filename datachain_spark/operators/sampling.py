@@ -142,3 +142,123 @@ def mix_by_token_budget(
     thresholds = mixture_thresholds(group_tokens, weights, token_budget)
     thresh = _thresh_expr(group_col, thresholds, 0)
     return df.filter(hash_bucket(F.col(id_col)) < thresh)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling", public
+# arXiv:2302.03169). Select raw-corpus documents whose hashed-n-gram
+# distribution looks like a small TARGET corpus (e.g. keep the most
+# Wikipedia-like slice of CommonCrawl).
+# ---------------------------------------------------------------------------
+
+
+def dsir_grams(text: Column) -> Column:
+    """Unigram + bigram occurrence array (the paper's hashed n-gram
+    feature set), lowered word_tokens; docs with <2 tokens contribute
+    unigrams only. Pure codegen."""
+    from datachain_spark.operators.text import word_tokens
+
+    toks = word_tokens(F.lower(text))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Feature hashing: gram -> bucket in [0, n_buckets). md5-derived
+    60-bit integer (engine-portable: DuckDB form
+    ``CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % B``) so the driver
+    oracle reproduces the exact bucketing."""
+    h60 = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return F.pmod(h60, F.lit(int(n_buckets)))
+
+
+def dsir_bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> tuple[dict[int, int], int]:
+    """Hashed-gram bucket occurrence counts over a corpus: explode ->
+    ONE hash-aggregate shuffle of at most n_buckets groups (map-side
+    combine makes the shuffle O(partitions x buckets)), collected as
+    O(B) driver metadata — the DSIR 'fit' step."""
+    rows = (
+        df.select(F.explode(dsir_grams(F.col(text_col))).alias("g"))
+        .select(dsir_bucket(F.col("g"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {int(r["b"]): int(r["c"]) for r in rows}
+    return counts, sum(counts.values())
+
+
+def dsir_log_ratios(
+    target_counts: dict[int, int],
+    target_total: int,
+    raw_counts: dict[int, int],
+    raw_total: int,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> list[float]:
+    """Per-bucket log importance ratio λ_b = ln p̂_target(b) − ln p̂_raw(b)
+    with add-α smoothing. Computed in Python (glibc log — the same libm
+    DuckDB's ln uses, so the oracle's arithmetic is bit-identical)."""
+    tb = float(target_total) + alpha * n_buckets
+    rb = float(raw_total) + alpha * n_buckets
+    return [
+        math.log((target_counts.get(b, 0) + alpha) / tb)
+        - math.log((raw_counts.get(b, 0) + alpha) / rb)
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: score every raw document by the summed log
+    importance ratio of its hashed gram occurrences, keep the
+    deterministic top-`n_keep` by (score desc, id asc). (The paper
+    resamples with Gumbel noise; the deterministic top-n is the
+    reproducible variant — seeded Gumbel keys can be added as a column by
+    the caller.)
+
+    Scale shape: two fit passes (target is small by nature; the raw fit is
+    one bounded-cardinality aggregate), then scoring is a ZERO-shuffle
+    codegen map — λ is an O(B) literal array and the per-doc score is
+    F.aggregate over the gram array — followed by TakeOrderedAndProject
+    (never a full sort). Nothing in the plan grows with corpus size except
+    the scan. Docs with no grams (empty text) carry no evidence and are
+    excluded. n_buckets is bounded to 65536 as a plan-size guard (λ is
+    embedded in the plan; the paper uses 10k)."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
+    t_counts, t_total = dsir_bucket_counts(target, text_col, n_buckets)
+    r_counts, r_total = dsir_bucket_counts(raw, text_col, n_buckets)
+    lam = dsir_log_ratios(t_counts, t_total, r_counts, r_total, n_buckets, alpha)
+    lam_arr = F.array(*[F.lit(v) for v in lam])
+    grams = dsir_grams(F.col(text_col))
+    score = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(lam_arr, (dsir_bucket(g, n_buckets) + 1).cast("int")),
+    )
+    scored = (
+        raw.withColumn("dsir_score", F.round(score, 6))
+        .filter(F.size(grams) > 0)
+    )
+    return scored.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(n_keep)

@@ -111,3 +111,78 @@ def test_mix_by_token_budget_token_mass(spark):
         assert toks <= 650  # near the 300-per-group target, never wildly over
     total = sum(got.values())
     assert 100 <= total <= 700  # expectation 600, small-sample noise allowed
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_enriches_target_distribution(spark):
+    """Selecting with an 'es' target must raise the es share well above
+    its corpus base rate (the whole point of DSIR)."""
+    from datachain_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "es")
+    n = docs.count()
+    base = docs.filter(F.col("lang") == "es").count() / n
+    sel = dsir_select(docs, target, 20, n_buckets=64)
+    got = sel.filter(F.col("lang") == "es").count() / 20
+    assert got > 2 * base, (got, base)
+
+
+def test_dsir_deterministic_under_repartition(spark):
+    """Scoring is a pure function of the text — same selection at any
+    parallelism."""
+    from datachain_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "es")
+    a = [(r["doc_id"], r["dsir_score"]) for r in dsir_select(docs, target, 15, n_buckets=64).collect()]
+    b = [
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_select(docs.repartition(13), target, 15, n_buckets=64).collect()
+    ]
+    assert a == b
+
+
+def test_dsir_scoring_is_zero_shuffle(spark):
+    """The scoring+top-k job must contain no Exchange: λ is plan literals,
+    the score is F.aggregate over the gram array, and the top-n is
+    TakeOrderedAndProject (fit aggregations run before this plan is
+    built)."""
+    from datachain_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "es")
+    out = dsir_select(docs, target, 10, n_buckets=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_empty_docs_excluded_and_score_hand_checked(spark):
+    """A doc with no tokens is excluded; a one-gram doc's score equals its
+    single bucket's log ratio computed by hand."""
+    import math as m
+
+    from datachain_spark.operators.sampling import (
+        dsir_bucket_counts,
+        dsir_select,
+    )
+
+    # 'alpha' and 'delta' land in distinct md5 buckets at B=8 (3 vs 1)
+    rows = [(1, "alpha"), (2, ""), (3, "alpha"), (4, "delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter(F.col("doc_id") == 1)  # target = {alpha}
+    out = {r["doc_id"]: r["dsir_score"] for r in dsir_select(df, target, 10, n_buckets=8).collect()}
+    assert 2 not in out  # empty doc carries no evidence
+    t_counts, t_total = dsir_bucket_counts(target, "text", 8)
+    r_counts, r_total = dsir_bucket_counts(df, "text", 8)
+    (alpha_bucket,) = t_counts  # target has exactly one occupied bucket
+    lam = m.log((t_counts[alpha_bucket] + 1.0) / (t_total + 8.0)) - m.log(
+        (r_counts[alpha_bucket] + 1.0) / (r_total + 8.0)
+    )
+    assert abs(out[1] - round(lam, 6)) < 1e-9
+    assert out[1] == out[3] > out[4]
