@@ -98,12 +98,13 @@ def gram_occurrences(text: Column, n: int) -> Column:
     """Word n-gram array WITH duplicates (unlike dedup.shingles, which is
     distinct) — repetition signals need occurrence counts. Documents with
     fewer than n tokens yield an empty array."""
+    from datachain_spark.operators.dedup import sliding_ngrams
+
     toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    return F.when(k >= 1, sliding_ngrams(toks, n, k)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_signals(

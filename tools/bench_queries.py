@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_spans_corpus",
     "stratified_sample_docs",
     "token_budget_mixture",
+    "bm25_search_topk",
+    "dsir_importance_select",
 ]
 
 
