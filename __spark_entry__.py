@@ -1333,6 +1333,35 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/zorder: Delta OPTIMIZE ZORDER analog (reference has no
+    layout optimizer — its datasets live unordered in SQLite). Rewrite
+    events clustered on the Morton curve of (user_id, value) — ONE range
+    shuffle, codegen bit-interleave — then run a two-column box query on
+    the rewritten copy. Layout never changes results, so the oracle is the
+    plain filter on the source table; the data-skipping proof (footer
+    min/max overlap vs a linear sort) lives in tests/test_zorder.py."""
+    import tempfile
+
+    from datachain_spark.operators.zorder import write_zordered
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"zorder_events_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_zordered(events, out, ["user_id", "value"], num_files=16)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("user_id").between(40, 79) & F.col("value").between(20.0, 80.0)
+        )
+        .select("event_id", "user_id", "value", "event_type")
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_transcripts_final": cdc_transcripts_final,
@@ -1399,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_corpus": dedup_spans_corpus,
         "bm25_search_topk": bm25_search_topk,
         "dsir_importance_select": dsir_importance_select,
+        "zorder_pruned_scan": zorder_pruned_scan,
     }
 
 
@@ -2323,6 +2353,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "zorder_pruned_scan": """
+            -- layout is invisible to readers: the z-ordered rewrite must
+            -- return exactly the source table's box-filtered rows
+            SELECT event_id, user_id, value, event_type
+            FROM events
+            WHERE user_id BETWEEN 40 AND 79
+              AND value BETWEEN 20.0 AND 80.0
+            ORDER BY event_id
         """,
         "dedup_spans_corpus": """
             -- identical window/first-occurrence/coverage pipeline; the

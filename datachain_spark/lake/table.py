@@ -490,6 +490,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         max_buckets: int | None = None,
         retain_tombstones: bool = True,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite buckets with more than `max_segments` segments into
         resolved (LWW) segments. `max_buckets` staggers the work — only the
@@ -510,27 +511,41 @@ class LakeTable:
         writer guarantees no event at-or-below the bucket watermark can
         ever be appended (e.g. the `lsn_ordered=True` replay path, whose
         per-bucket high-watermark filter drops redeliveries pre-write) —
-        then tombstones are garbage the moment they are compacted."""
+        then tombstones are garbage the moment they are compacted.
+
+        `zorder_by` clusters each rewritten bucket's rows on the Morton
+        curve of the given columns (operators/zorder.py — Delta's OPTIMIZE
+        ZORDER analog), so parquet row-group min/max stats prune reads
+        filtered on ANY of those columns (e.g. `["conv_id", "ts"]` serves
+        both one-conversation reads and time-window scans). Bounds come
+        from a column-pruned aggregate over the PRE-resolve raw scan —
+        a superset, so the bounds cover the resolved rows without running
+        the LWW window twice."""
         snap = self.snapshot()
         todo = [b for b, fl in snap.buckets.items() if len(fl) > max_segments]
         if not todo:
             return None
         if max_buckets is not None and len(todo) > max_buckets:
             todo = sorted(todo, key=lambda b: -len(snap.buckets[b]))[:max_buckets]
+        raw = self._read_raw(spark, snap, todo)
         resolved = self._resolve(
-            self._read_raw(spark, snap, todo),
+            raw,
             snap.key_cols,
             keep_tombstones=retain_tombstones,
         )
         resolved = resolved.withColumn("bucket", self.bucket_expr())
         out_dir = self.data_dir(f"compact={snap.version + 1}")
         n_parts = max(1, len(todo) * files_per_bucket)
-        (
-            resolved.repartition(n_parts, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out_dir)
-        )
+        out = resolved.repartition(n_parts, "bucket")
+        if zorder_by:
+            from datachain_spark.operators.zorder import zorder_code
+
+            out = (
+                out.withColumn("__z", zorder_code(resolved, zorder_by, stats_df=raw))
+                .sortWithinPartitions("bucket", "__z")
+                .drop("__z")
+            )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
         replace: dict[int, list[str]] = {b: [] for b in todo}
         for entry in os.listdir(out_dir):
             if not entry.startswith("bucket="):
