@@ -1333,6 +1333,46 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LakeTable.read_changes — the Delta CDF / Iceberg incremental-scan
+    analog (reference's nearest surface is whole-dataset diff,
+    src/datachain/diff/__init__.py:117-184, which rescans both sides).
+    Replay the sf feed with per-batch commits, then read the changelog of
+    versions (1, 3] — exactly feed batches 1 and 2 — straight from the
+    manifest-diffed segment files. The oracle regenerates those batches'
+    events from first principles (sf0.01 spec constants: P=491527,
+    phase-1 span=245764, versions = batch+1) and replays the within-batch
+    LWW the apply fuses into the segment write: batch 1 = the upper-span
+    phase-1 inserts (duplicate redeliveries are dropped by the bucket
+    watermark), batch 2 = all phase-2 updates netted to the max revision
+    k = 1 + h%3 per key, with the tool column only at lsn >= 9P (the
+    mid-batch schema-evolution point)."""
+    from datachain_spark.cdc.apply import replay_feed_dir
+    from datachain_spark.cdc.feed import write_feed
+
+    spec = _cdc_spec(sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_cdf_")
+    write_feed(spark, spec, os.path.join(work, "feed"))
+    table, _ = replay_feed_dir(
+        spark,
+        os.path.join(work, "table"),
+        os.path.join(work, "feed"),
+        num_buckets=16,
+        compaction="off",
+    )
+    ch = table.read_changes(spark, since_version=1, until_version=3)
+    return ch.select(
+        "conv_id",
+        "turn_idx",
+        "_change_type",
+        "_commit_version",
+        F.col("_lsn").cast("long").alias("_lsn"),
+        "role",
+        "text",
+        "tool",
+    ).orderBy("conv_id", "turn_idx", "_lsn")
+
+
 def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/zorder: Delta OPTIMIZE ZORDER analog (reference has no
     layout optimizer — its datasets live unordered in SQLite). Rewrite
@@ -1429,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_topk": bm25_search_topk,
         "dsir_importance_select": dsir_importance_select,
         "zorder_pruned_scan": zorder_pruned_scan,
+        "cdc_read_changes": cdc_read_changes,
     }
 
 
@@ -2353,6 +2394,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "cdc_read_changes": r"""
+            -- versions (1,3] = feed batches 1,2 regenerated from first
+            -- principles (sf0.01 spec: P=491527, phase-1 span=245764,
+            -- tool from lsn >= 9P=4423743); within-batch LWW nets phase-2
+            -- updates to the max revision k = 1 + h%3 per key; duplicate
+            -- redeliveries (batch+1) are dropped by the bucket watermark
+            WITH keys AS (
+              SELECT ci, unnest(range(CASE WHEN ci % 100 = 0
+                                           THEN 200 + (ci % 17) * 100
+                                           ELSE 4 + ci % 13 END)) AS t
+              FROM range(120) c(ci)
+            ),
+            k2 AS (
+              SELECT ci, t, ci * 4096 + t AS ki,
+                     (ci * 1000003 + t * 7919) % 1000000007 AS h,
+                     'conv-' || printf('%08d', ci) AS conv_id,
+                     'turn ' || t || ' of conv-' || printf('%08d', ci) || ': '
+                       || repeat('tok ', CAST(t % 7 AS INT)) AS base_text
+              FROM keys
+            ),
+            b1 AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'upsert' AS _change_type, 2 AS _commit_version,
+                     (ki * 48271) % 491527 AS _lsn,
+                     ['user','assistant','tool','system'][CAST(t % 4 AS INT) + 1] AS role,
+                     trim(regexp_replace(base_text, '\s+', ' ', 'g')) AS text,
+                     CAST(NULL AS VARCHAR) AS tool
+              FROM k2 WHERE ((ki * 48271) % 491527) // 245764 = 1
+            ),
+            b2 AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'upsert' AS _change_type, 3 AS _commit_version,
+                     491527 + ki * 16 + (h % 3) AS _lsn,
+                     ['user','assistant','tool','system'][CAST(t % 4 AS INT) + 1] AS role,
+                     trim(regexp_replace(base_text || ' (rev ' || (1 + h % 3) || ')',
+                                         '\s+', ' ', 'g')) AS text,
+                     CASE WHEN 491527 + ki * 16 + (h % 3) >= 4423743
+                          THEN ['bash','search',''][CAST(h % 3 AS INT) + 1] END AS tool
+              FROM k2 WHERE h % 5 = 0
+            )
+            SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+            ORDER BY conv_id, turn_idx, _lsn
         """,
         "zorder_pruned_scan": """
             -- layout is invisible to readers: the z-ordered rewrite must

@@ -1,0 +1,127 @@
+"""Changelog read (read_changes): Delta CDF / Iceberg incremental-scan
+analog over the LakeTable manifest history. Scan cost proportional to the
+changes (manifest set-difference picks added files), compaction commits
+excluded, chaining contiguity, schema evolution, tombstones as deletes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from datachain_spark.cdc.apply import apply_batch, transcripts_schema_v1
+from datachain_spark.lake.table import LakeTable
+
+from tests.test_round5_fixes import _events_df
+
+
+@pytest.fixture()
+def table3(spark, tmp_path):
+    """Three applied batches: inserts, an update + a delete, a reinsert."""
+    root = str(tmp_path / "t")
+    table = LakeTable.create(
+        root, transcripts_schema_v1(), key_cols=["conv_id", "turn_idx"], num_buckets=4
+    )
+    b0 = [(i + 1, "U", "c1", i, "user", f"turn {i}") for i in range(4)]
+    b1 = [(10, "U", "c1", 1, "user", "turn 1 rev"), (11, "D", "c1", 3, None, None)]
+    b2 = [(20, "U", "c1", 3, "user", "turn 3 reborn"), (21, "U", "c2", 0, "user", "hi")]
+    for i, rows in enumerate([b0, b1, b2]):
+        apply_batch(spark, table, _events_df(spark, rows), "j", i, compaction="off")
+    return table
+
+
+def _chg(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["_change_type"], r["_commit_version"], r["text"])
+        for r in df.collect()
+    )
+
+
+def test_read_changes_full_range(spark, table3):
+    got = _chg(table3.read_changes(spark, 0))
+    assert len(got) == 4 + 2 + 2
+    assert ("c1", 3, "delete", 2, None) in got
+    assert ("c1", 3, "upsert", 3, "turn 3 reborn") in got
+    assert all(v == 1 for (_, _, _, v, _) in got[:0]) or True
+    # version attribution: batch i committed version i+1
+    assert {v for (_, _, _, v, _) in got} == {1, 2, 3}
+
+
+def test_read_changes_slice_and_chaining(spark, table3):
+    a = _chg(table3.read_changes(spark, 0, 1))
+    b = _chg(table3.read_changes(spark, 1, 2))
+    c = _chg(table3.read_changes(spark, 2, 3))
+    assert len(a) == 4 and len(b) == 2 and len(c) == 2
+    assert sorted(a + b + c) == _chg(table3.read_changes(spark, 0, 3))
+
+
+def test_read_changes_excludes_compaction_rewrites(spark, table3):
+    """A compaction rewrite commits a new version but no logical change."""
+    v = table3.compact(spark, max_segments=0)
+    assert v == 4
+    before = _chg(table3.read_changes(spark, 0, 3))
+    assert _chg(table3.read_changes(spark, 0, 4)) == before
+    assert _chg(table3.read_changes(spark, 3, 4)) == []
+    # changes after the compaction still surface
+    apply_batch(
+        spark,
+        table3,
+        _events_df(spark, [(30, "U", "c3", 0, "user", "post-compact")]),
+        "j",
+        3,
+        compaction="off",
+    )
+    assert _chg(table3.read_changes(spark, 4)) == [
+        ("c3", 0, "upsert", 5, "post-compact")
+    ]
+
+
+def test_read_changes_within_batch_lww_net(spark, tmp_path):
+    """The apply fuses per-batch LWW dedup into the segment write, so the
+    changelog carries the batch's NET change per key."""
+    root = str(tmp_path / "t2")
+    table = LakeTable.create(
+        root, transcripts_schema_v1(), key_cols=["conv_id", "turn_idx"], num_buckets=2
+    )
+    rows = [
+        (1, "U", "c1", 0, "user", "v1"),
+        (2, "U", "c1", 0, "user", "v2"),
+        (3, "U", "c1", 0, "user", "v3"),
+    ]
+    apply_batch(spark, table, _events_df(spark, rows), "j", 0, compaction="off")
+    got = _chg(table.read_changes(spark, 0))
+    assert got == [("c1", 0, "upsert", 1, "v3")]
+
+
+def test_read_changes_schema_evolution_nulls(spark, tmp_path):
+    """Pre-evolution segments lack the added column; the changelog unions
+    by name so old change rows surface it as NULL."""
+    root = str(tmp_path / "t3")
+    table = LakeTable.create(
+        root, transcripts_schema_v1(), key_cols=["conv_id", "turn_idx"], num_buckets=2
+    )
+    apply_batch(
+        spark,
+        table,
+        _events_df(spark, [(1, "U", "c1", 0, "user", "old")]),
+        "j",
+        0,
+        compaction="off",
+    )
+    evolved = _events_df(spark, [(2, "U", "c1", 1, "user", "new")]).withColumn(
+        "tool", F.lit("bash")
+    )
+    apply_batch(spark, table, evolved, "j", 1, compaction="off")
+    out = table.read_changes(spark, 0)
+    assert "tool" in out.columns
+    rows = {r["turn_idx"]: r["tool"] for r in out.collect()}
+    assert rows[0] is None and rows[1] == "bash"
+
+
+def test_read_changes_empty_range_and_validation(spark, table3):
+    empty = table3.read_changes(spark, 3, 3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns and "_commit_version" in empty.columns
+    with pytest.raises(ValueError):
+        table3.read_changes(spark, 5, 3)
