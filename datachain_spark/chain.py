@@ -1389,19 +1389,26 @@ def read_dataset(
     catalog_root: str = DEFAULT_CATALOG,
     namespace: str | None = None,
     project: str | None = None,
+    as_of=None,
 ) -> Chain:
     """Open a saved dataset at a version: an int snapshot id, an exact
     semver tag ("v1.2.3" or "1.2.3"), or a SPECIFIER string like
     ">=1.0.0,<2" / "~=1.2" resolving to the HIGHEST matching tag
     (reference lib/dc/datasets.py:27-224 accepts the same forms).
     `name` may be fully qualified (`namespace.project.name`), or bare
-    with explicit `namespace=`/`project=` (same reference signature)."""
+    with explicit `namespace=`/`project=` (same reference signature).
+    `as_of` (epoch float / datetime / ISO string) is timestamp time
+    travel — the latest version committed at or before that instant."""
     from datachain_spark.namespaces import dataset_root
 
     if namespace or project:
         name = Settings(namespace=namespace, project=project).qualify(name)
 
     table = LakeTable(dataset_root(catalog_root, name))
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = table.version_at(as_of)
     if isinstance(version, str) and any(version.startswith(p) for p in (">", "<", "=", "~", "!")):
         version = _resolve_semver_spec(table, version)
     ch = Chain(table.read(spark, version=version), catalog_root=catalog_root)

@@ -231,6 +231,33 @@ class LakeTable:
                 return v
         raise KeyError(f"tag {tag!r} not found in {self.root}")
 
+    def version_at(self, ts) -> int:
+        """Timestamp time travel (Delta's TIMESTAMP AS OF / Iceberg's
+        snapshot-at): the latest version whose commit time is <= ts.
+        Accepts an epoch float, a datetime, or an ISO-8601 string (naive
+        strings are taken as UTC, matching the commit clock). Raises if ts
+        predates the table. O(versions) manifest metadata, no Spark job."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            parsed = _dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            ts = parsed.timestamp()
+        elif isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        best = None
+        for v in self.versions():
+            if self.snapshot(v).created_at <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise KeyError(f"no version at or before ts={ts} in {self.root}")
+        return best
+
     def _write_manifest(self, snap: Snapshot) -> None:
         """Atomic commit: full write to tmp + fsync, then `os.link` into
         place. link(2) — unlike rename(2) — FAILS if the target exists, so
@@ -307,13 +334,19 @@ class LakeTable:
         version: int | str | None = None,
         buckets: list[int] | None = None,
         with_meta: bool = False,
+        as_of=None,
     ) -> DataFrame:
-        """Read a snapshot (optionally bucket-pruned / time-travel).
+        """Read a snapshot (optionally bucket-pruned / time-travel; `as_of`
+        = timestamp time travel via version_at).
 
         The explicit schema makes old files (pre-evolution) surface added
         columns as null — Iceberg-style union-by-name on read. Buckets
         flagged dirty get LWW resolution; compacted buckets scan straight
         through (no window)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(as_of)
         if isinstance(version, str):
             version = self.resolve_tag(version)
         snap = self.snapshot(version)
@@ -341,6 +374,49 @@ class LakeTable:
         if not with_meta:
             df = df.drop(LSN_COL, DELETED_COL)
         return df
+
+    def buckets_for(self, spark: SparkSession, values: list) -> dict:
+        """Bucket id per bucketing-key value (the table buckets on its
+        first key column). ONE tiny local-DF job that evaluates the SAME
+        JVM xxhash64 expression the writer used — no Python reimplementation
+        to drift. O(len(values)) driver metadata."""
+        kcol = self.snapshot().key_cols[0]
+        ktype = next(f.dataType for f in self.snapshot().schema.fields if f.name == kcol)
+        df = spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField(kcol, ktype)])
+        )
+        rows = df.select(F.col(kcol), self.bucket_expr().alias("__b")).collect()
+        return {r[kcol]: int(r["__b"]) for r in rows}
+
+    def read_keys(
+        self,
+        spark: SparkSession,
+        values: list,
+        version: int | str | None = None,
+        with_meta: bool = False,
+        as_of=None,
+    ) -> DataFrame:
+        """Point lookups at table scale: resolve the values' buckets with
+        one tiny local job, read ONLY those buckets (1/num_buckets of the
+        table per distinct key), and push the key equality into the scan —
+        with a zorder_by compaction layout the parquet row-group stats
+        prune inside the bucket too, so a one-conversation read touches a
+        handful of row groups out of 100 TB."""
+        kcol = self.snapshot().key_cols[0]
+        bmap = self.buckets_for(spark, values)
+        df = self.read(
+            spark,
+            version=version,
+            buckets=sorted(set(bmap.values())),
+            with_meta=with_meta,
+            as_of=as_of,
+        )
+        cond = (
+            F.col(kcol) == F.lit(values[0])
+            if len(values) == 1
+            else F.col(kcol).isin(list(values))
+        )
+        return df.filter(cond)
 
     def read_changes(
         self,

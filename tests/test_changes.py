@@ -125,3 +125,80 @@ def test_read_changes_empty_range_and_validation(spark, table3):
     assert "_change_type" in empty.columns and "_commit_version" in empty.columns
     with pytest.raises(ValueError):
         table3.read_changes(spark, 5, 3)
+
+
+# ---------------------------------------------------------------------------
+# timestamp time travel + key-pruned point reads
+# ---------------------------------------------------------------------------
+
+
+def test_version_at_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    root = str(tmp_path / "tt")
+    table = LakeTable.create(
+        root, transcripts_schema_v1(), key_cols=["conv_id", "turn_idx"], num_buckets=2
+    )
+    apply_batch(
+        spark, table, _events_df(spark, [(1, "U", "c1", 0, "user", "v1")]),
+        "j", 0, compaction="off",
+    )
+    mid = _time.time()
+    _time.sleep(0.01)
+    apply_batch(
+        spark, table, _events_df(spark, [(2, "U", "c1", 0, "user", "v2")]),
+        "j", 1, compaction="off",
+    )
+    assert table.version_at(mid) == 1
+    assert table.version_at(_time.time()) == 2
+    got = [r["text"] for r in table.read(spark, as_of=mid).collect()]
+    assert got == ["v1"]
+    # ISO string form (UTC) and pre-creation error
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(mid, _dt.timezone.utc).isoformat()
+    assert table.version_at(iso) == 1
+    with pytest.raises(KeyError):
+        table.version_at(0.0)
+    with pytest.raises(ValueError):
+        table.read(spark, version=1, as_of=mid)
+
+
+def test_read_keys_prunes_buckets(spark, table3):
+    """A point lookup reads only the key's bucket files and pushes the
+    equality into the scan."""
+    out = table3.read_keys(spark, ["c1"])
+    rows = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
+    # c1 turns: 0,1,2 live (3 deleted then reborn in batch 2 -> lives)
+    assert rows == [("c1", 0), ("c1", 1), ("c1", 2), ("c1", 3)]
+    full = table3.read(spark)
+    assert len(out.inputFiles()) < len(full.inputFiles())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "conv_id" in plan
+    # multi-key form spans both keys' buckets
+    both = table3.read_keys(spark, ["c1", "c2"])
+    assert both.count() == 5
+
+
+def test_read_dataset_as_of(spark, tmp_path):
+    """Timestamp time travel through the dataset API (Delta's
+    timestampAsOf; the reference only has int/tag versions)."""
+    import time as _time
+
+    from datachain_spark.chain import Chain, read_dataset
+
+    cat = str(tmp_path / "cat")
+    ch1 = Chain(spark.range(3).selectExpr("id", "id * 2 AS y"))
+    ch1.catalog_root = cat
+    ch1.save("tt_ds")
+    mid = _time.time()
+    _time.sleep(0.01)
+    ch2 = Chain(spark.range(5).selectExpr("id", "id * 3 AS y"))
+    ch2.catalog_root = cat
+    ch2.save("tt_ds")
+    old = read_dataset(spark, "tt_ds", catalog_root=cat, as_of=mid)
+    assert old.df.count() == 3
+    new = read_dataset(spark, "tt_ds", catalog_root=cat)
+    assert new.df.count() == 5
+    with pytest.raises(ValueError):
+        read_dataset(spark, "tt_ds", catalog_root=cat, version=1, as_of=mid)
