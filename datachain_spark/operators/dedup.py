@@ -763,12 +763,16 @@ def dedup_spans(
         toks.alias("__t"),
         F.size(toks).alias("__n"),
     )
-    # sequence(0, n-k) descends when n<k — guard to an empty window list
+    # zip_with-chain windows (sliding_ngrams), NOT slice(__t, i+1, k)
+    # inside a transform lambda: ProjectCollapse substitutes __t back to
+    # the tokenization expression, and a captured outer expression in a
+    # higher-order lambda re-evaluates PER ELEMENT — the whole regex split
+    # once per window position. Guard: empty window list when n < k.
     whashes = F.when(
         F.col("__n") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.col("__n") - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k))),
+            sliding_ngrams(F.col("__t"), k, F.col("__n") - k + 1),
+            lambda s: F.xxhash64(s),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     win = base.select("__id", F.posexplode(whashes).alias("__pos", "__h"))
