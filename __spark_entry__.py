@@ -1373,6 +1373,50 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "_lsn")
 
 
+def cdc_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LakeTable.stream_changes — streaming CDC-out (Delta CDF readStream
+    analog): the full changelog drained through a real Structured
+    Streaming availableNow run into a memory sink. The oracle regenerates
+    EVERY batch's net change rows from first principles (sf0.01 spec):
+    batches 0-1 = the two phase-1 insert spans, batch 2 = updates netted
+    to max revision, batch 3 = deletes (role/text NULL) and reborn rows
+    (tool present — 17P > 9P); the trailing duplicate-redelivery batch is
+    watermark-dropped pre-write, so it commits no segment and the stream
+    never sees it."""
+    from datachain_spark.cdc.apply import replay_feed_dir
+    from datachain_spark.cdc.feed import write_feed
+
+    spec = _cdc_spec(sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_cdcout_")
+    write_feed(spark, spec, os.path.join(work, "feed"))
+    table, _ = replay_feed_dir(
+        spark,
+        os.path.join(work, "table"),
+        os.path.join(work, "feed"),
+        num_buckets=16,
+        compaction="off",
+    )
+    sink = f"cdcout_{abs(hash(work)) % 10**9}"
+    q = (
+        table.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "conv_id",
+        "turn_idx",
+        "_change_type",
+        F.col("_lsn").cast("long").alias("_lsn"),
+        "role",
+        "text",
+        "tool",
+    ).orderBy("conv_id", "turn_idx", "_lsn")
+
+
 def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/zorder: Delta OPTIMIZE ZORDER analog (reference has no
     layout optimizer — its datasets live unordered in SQLite). Rewrite
@@ -1470,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_select": dsir_importance_select,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
+        "cdc_stream_changes": cdc_stream_changes,
     }
 
 
@@ -2436,6 +2481,71 @@ def oracle_sql() -> dict[str, str]:
               FROM k2 WHERE h % 5 = 0
             )
             SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+            ORDER BY conv_id, turn_idx, _lsn
+        """,
+        "cdc_stream_changes": r"""
+            -- FULL changelog from first principles (sf0.01 spec,
+            -- P=491527, span1=245764, tool from lsn >= 9P): batches 0-1 =
+            -- phase-1 inserts by span, batch 2 = updates netted to max
+            -- revision k=1+h%3, batch 3 = deletes (role/text NULL) and
+            -- reborn inserts (tool present, 17P > 9P); the trailing
+            -- duplicate batch is watermark-dropped and never committed
+            WITH keys AS (
+              SELECT ci, unnest(range(CASE WHEN ci % 100 = 0
+                                           THEN 200 + (ci % 17) * 100
+                                           ELSE 4 + ci % 13 END)) AS t
+              FROM range(120) c(ci)
+            ),
+            k2 AS (
+              SELECT ci, t, ci * 4096 + t AS ki,
+                     (ci * 1000003 + t * 7919) % 1000000007 AS h,
+                     'conv-' || printf('%08d', ci) AS conv_id,
+                     'turn ' || t || ' of conv-' || printf('%08d', ci) || ': '
+                       || repeat('tok ', CAST(t % 7 AS INT)) AS base_text
+              FROM keys
+            ),
+            ins AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'upsert' AS _change_type,
+                     (ki * 48271) % 491527 AS _lsn,
+                     ['user','assistant','tool','system'][CAST(t % 4 AS INT) + 1] AS role,
+                     trim(regexp_replace(base_text, '\s+', ' ', 'g')) AS text,
+                     CAST(NULL AS VARCHAR) AS tool
+              FROM k2
+            ),
+            upd AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'upsert' AS _change_type,
+                     491527 + ki * 16 + (h % 3) AS _lsn,
+                     ['user','assistant','tool','system'][CAST(t % 4 AS INT) + 1] AS role,
+                     trim(regexp_replace(base_text || ' (rev ' || (1 + h % 3) || ')',
+                                         '\s+', ' ', 'g')) AS text,
+                     CASE WHEN 491527 + ki * 16 + (h % 3) >= 4423743
+                          THEN ['bash','search',''][CAST(h % 3 AS INT) + 1] END AS tool
+              FROM k2 WHERE h % 5 = 0
+            ),
+            dels AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'delete' AS _change_type,
+                     17 * 491527 + ki * 16 AS _lsn,
+                     CAST(NULL AS VARCHAR) AS role,
+                     CAST(NULL AS VARCHAR) AS text,
+                     CAST(NULL AS VARCHAR) AS tool
+              FROM k2 WHERE h % 23 = 0 AND h % 46 <> 0
+            ),
+            reborn AS (
+              SELECT conv_id, CAST(t AS INT) AS turn_idx,
+                     'upsert' AS _change_type,
+                     17 * 491527 + ki * 16 + 1 AS _lsn,
+                     ['user','assistant','tool','system'][CAST(t % 4 AS INT) + 1] AS role,
+                     trim(regexp_replace(base_text || ' (reborn)', '\s+', ' ', 'g')) AS text,
+                     ['bash','search',''][CAST(h % 3 AS INT) + 1] AS tool
+              FROM k2 WHERE h % 46 = 0
+            )
+            SELECT * FROM (
+              SELECT * FROM ins UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM reborn
+            )
             ORDER BY conv_id, turn_idx, _lsn
         """,
         "zorder_pruned_scan": """

@@ -493,6 +493,42 @@ class LakeTable:
             .drop(DELETED_COL)
         )
 
+    def stream_changes(
+        self,
+        spark: SparkSession,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
+        """CDC-out: the table's changelog as a STREAMING DataFrame (Delta
+        CDF readStream analog) — downstream consumers subscribe to every
+        upsert/delete the appliers commit, instead of re-diffing snapshots.
+
+        Built on Spark's file-streaming source over the segment layout:
+        the `job=*/batch=*/bucket=*` glob picks up exactly the appended
+        change segments as they land and NEVER the `compact=*` rewrites,
+        so compaction is invisible (same contract as read_changes). The
+        source's processed-file log gives exactly-once per segment file;
+        rows carry `_change_type` and `_lsn` (commit-version attribution
+        needs the manifest and is a batch-read concern — use read_changes
+        for audited ranges). Pre-evolution files surface later-added
+        columns as NULL via the explicit read schema, which is pinned at
+        stream START: restart the stream to pick up newer columns."""
+        read_schema = T.StructType(list(self.snapshot().schema.fields) + META_FIELDS)
+        reader = spark.readStream.schema(read_schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        out = reader.parquet(
+            os.path.join(self.root, "data", "job=*", "batch=*", "bucket=*")
+        )
+        return (
+            out.withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
+                ).otherwise(F.lit("upsert")),
+            )
+            .drop(DELETED_COL)
+        )
+
     # ---------- commit ----------
     def commit(
         self,

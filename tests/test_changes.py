@@ -202,3 +202,53 @@ def test_read_dataset_as_of(spark, tmp_path):
     assert new.df.count() == 5
     with pytest.raises(ValueError):
         read_dataset(spark, "tt_ds", catalog_root=cat, version=1, as_of=mid)
+
+
+def test_stream_changes_cdc_out(spark, tmp_path):
+    """Streaming changelog (CDC-out): every applied change row arrives
+    exactly once across restarts (file-source processed log); compaction
+    rewrites never appear; deletes are flagged."""
+    root = str(tmp_path / "sc")
+    ckpt = str(tmp_path / "sc_ckpt")
+    table = LakeTable.create(
+        root, transcripts_schema_v1(), key_cols=["conv_id", "turn_idx"], num_buckets=2
+    )
+    apply_batch(
+        spark, table,
+        _events_df(spark, [(1, "U", "c1", 0, "user", "a"), (2, "D", "c1", 1, None, None)]),
+        "j", 0, compaction="off",
+    )
+
+    got: list[tuple] = []
+
+    def sink(df, _epoch):
+        got.extend(
+            (r["conv_id"], r["turn_idx"], r["_change_type"], r["text"])
+            for r in df.collect()
+        )
+
+    def drain():
+        q = (
+            table.stream_changes(spark)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(got) == [
+        ("c1", 0, "upsert", "a"),
+        ("c1", 1, "delete", None),
+    ]
+    # compact, then append more: the restartable stream sees ONLY the new
+    # batch (exactly-once per file; compact=* rewrites invisible)
+    table.compact(spark, max_segments=0)
+    apply_batch(
+        spark, table, _events_df(spark, [(5, "U", "c2", 0, "user", "b")]),
+        "j", 1, compaction="off",
+    )
+    got.clear()
+    drain()
+    assert got == [("c2", 0, "upsert", "b")]
