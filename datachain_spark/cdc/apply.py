@@ -366,6 +366,7 @@ def apply_batch(
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         (
             segment.write.mode("overwrite")
+            .options(**table.parquet_write_options())
             .partitionBy("bucket")
             .parquet(out_dir)
         )

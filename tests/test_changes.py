@@ -252,3 +252,57 @@ def test_stream_changes_cdc_out(spark, tmp_path):
     got.clear()
     drain()
     assert got == [("c2", 0, "upsert", "b")]
+
+
+def test_bloom_filter_cols_written_and_inherited(spark, tmp_path):
+    """create(bloom_filter_cols=) turns on parquet bloom filters for every
+    segment AND compaction write (the config is a `table.*` prop inherited
+    across commits): the bloom-enabled twin's files are measurably larger
+    (the filter bitset), point reads return identical rows."""
+    import os as _os
+
+    def total_bytes(root):
+        n = 0
+        for dirpath, _dirs, files in _os.walk(_os.path.join(root, "data")):
+            n += sum(
+                _os.path.getsize(_os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return n
+
+    # HIGH-NDV key: parquet-mr (correctly) skips the bloom filter when a
+    # chunk stays fully dictionary-encoded — the dictionary already gives
+    # exact row-group pruning; blooms matter exactly when NDV outgrows it
+    import hashlib as _hl
+
+    rows = [
+        (c + 1, "U", "conv-" + _hl.md5(str(c).encode()).hexdigest(), 0, "user", "t")
+        for c in range(60000)
+    ]
+    roots = {}
+    for label, bloom in (("plain", None), ("bloom", ["conv_id"])):
+        root = str(tmp_path / label)
+        table = LakeTable.create(
+            root,
+            transcripts_schema_v1(),
+            key_cols=["conv_id", "turn_idx"],
+            num_buckets=2,
+            bloom_filter_cols=bloom,
+            bloom_filter_ndv=10_000,
+        )
+        apply_batch(spark, table, _events_df(spark, rows), "j", 0, compaction="off")
+        table.compact(spark, max_segments=0)  # prop must survive the commit
+        roots[label] = (root, table)
+    plain_sz, bloom_sz = total_bytes(roots["plain"][0]), total_bytes(roots["bloom"][0])
+    assert bloom_sz > plain_sz + 4000, (plain_sz, bloom_sz)
+    # config survived two commits (apply + compact)
+    tb = roots["bloom"][1]
+    assert tb.snapshot().props["table.bloom_filter_cols"] == ["conv_id"]
+    assert "parquet.bloom.filter.enabled#conv_id" in tb.parquet_write_options()
+    # reads are unchanged
+    import hashlib as _hl2
+
+    key = "conv-" + _hl2.md5(b"7").hexdigest()
+    got = [r["turn_idx"] for r in tb.read_keys(spark, [key]).collect()]
+    assert got == [0]

@@ -83,6 +83,10 @@ _SWEEP_SKIP = {
     "read_meta_jsonl",
     "audio_fragment_pipeline",
     "cdc_transcripts_final",
+    "cdc_read_changes",  # full feed replay; changelog plan = pure unions of
+    "cdc_stream_changes",  # pruned scans (tests/test_changes.py covers both)
+    "zorder_pruned_scan",  # writes the z-ordered copy eagerly; plan props in
+    # tests/test_zorder.py (pushed filters + footer pruning)
 }
 
 
