@@ -298,8 +298,14 @@ def main() -> None:
             1, 4, feed_dir, BENCH_EVENTS, SMALL_RUNS,
             warm_runs=1, warm_upto=0, scratch=scratch, timeout_s=1500,
         )
+        # 32 files/batch for the 2->8 feed (r5 sweep: 16 files = 2 ragged
+        # scan waves on 8 cores, stragglers land on the stage wall; 64
+        # quadrupled shuffle blocks and cost the reduce side more than the
+        # map side saved; 32 = 4 smooth waves, 2048 blocks — measured
+        # per-turn raw 0.745-0.799 vs 0.69-0.74 at 16)
         run_cdc_level(
             HIGH_CPUS, mid_dir, "--runs", "0", "--batches", "2",
+            "--files-per-batch", "32",
             events=MID_EVENTS, gen=True,
         )
         # FULL warm-ups for the 2->8 pair (r5): under the cheap batch-0
