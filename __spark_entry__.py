@@ -1333,6 +1333,39 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def merge_into_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain.merge_into — dataset-level MERGE (Delta/Iceberg MERGE analog;
+    reference's nearest is delta-save's whole-version re-diff,
+    delta.py:240-396). Save customer as a bucketed dataset keyed on
+    c_custkey, then one merge that (a) bumps acctbal +1000 for the %10
+    slice, (b) deletes the %40 slice, (c) inserts shadow keys (+1000000)
+    for the %7==3 slice. One one-shuffle CDC apply, O(source) cost; the
+    oracle replays the same CASE/anti-filter/UNION in SQL."""
+    from datachain_spark.chain import Chain, read_dataset
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    work = tempfile.mkdtemp(prefix="merge_into_")
+    base = Chain(cust)
+    base.catalog_root = work
+    base.save("merge_tgt", key_cols=["c_custkey"], num_buckets=8)
+
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("is_del", F.col("c_custkey") % 40 == 0)
+    )
+    ins = (
+        cust.filter(F.col("c_custkey") % 7 == 3)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("is_del", F.lit(False))
+    )
+    src = Chain(upd.unionByName(ins))
+    src.catalog_root = work
+    src.merge_into("merge_tgt", on=["c_custkey"], delete_col="is_del")
+    out = read_dataset(spark, "merge_tgt", catalog_root=work).df
+    return out.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
 def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LakeTable.read_changes — the Delta CDF / Iceberg incremental-scan
     analog (reference's nearest surface is whole-dataset diff,
@@ -1515,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
+        "merge_into_dataset": merge_into_dataset,
     }
 
 
@@ -2439,6 +2473,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "merge_into_dataset": """
+            -- the same MERGE replayed in SQL: %10 slice updated (+1000),
+            -- %40 slice deleted, %7==3 slice re-inserted as shadow keys
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer
+            WHERE NOT (c_custkey % 40 = 0)
+            UNION ALL
+            SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 7 = 3
+            ORDER BY c_custkey
         """,
         "cdc_read_changes": r"""
             -- versions (1,3] = feed batches 1,2 regenerated from first

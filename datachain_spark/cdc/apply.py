@@ -226,6 +226,9 @@ def apply_batch(
 
     snap = table.snapshot()
     target_schema = snap.schema
+    # the merge key is the TABLE's (generic: merge_into targets any keyed
+    # dataset); the transcripts flow created its tables with KEY_COLS
+    key_cols = snap.key_cols or KEY_COLS
 
     # ---- schema drift check (metadata-only, no Spark job) ----
     # Structurally new payload columns are written into the segment and the
@@ -289,7 +292,7 @@ def apply_batch(
     n_parts = max(1, table.num_buckets * files_per_bucket)
     combo = (
         F.col("bucket").cast("long") * files_per_bucket
-        + F.pmod(F.xxhash64(*KEY_COLS), F.lit(files_per_bucket))
+        + F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket))
     ).cast("int")
     pkeys = _perfect_partition_keys(spark, n_parts)
     if pkeys is not None:
@@ -301,14 +304,14 @@ def apply_batch(
     else:  # pragma: no cover - astronomically unlikely fallback
         ev = ev.withColumn("_pkey", combo)
     ev = ev.repartition(n_parts, "_pkey")
-    key_struct = F.struct(*[F.col(c) for c in KEY_COLS])
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
     # window over the _pkey partition: every copy of a key shares _pkey, and
     # the (key asc, lsn desc) sort makes first-of-key the LWW winner even
     # with many keys per partition. Partitioning by _pkey (not bucket/salt)
     # lets Catalyst see the repartition satisfies the window's clustering —
     # no second exchange.
     w = Window.partitionBy("_pkey").orderBy(
-        *[F.col(c) for c in KEY_COLS], F.col("lsn").desc()
+        *[F.col(c) for c in key_cols], F.col("lsn").desc()
     )
     prev_key = F.lag(key_struct).over(w)
     dedup = (
@@ -338,7 +341,7 @@ def apply_batch(
     payload = []
     for f in list(target_schema.fields) + cand_fields:
         c = f.name
-        if c in KEY_COLS:
+        if c in key_cols:
             payload.append(F.col(c))
         elif c in batch_cols:
             payload.append(F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c))

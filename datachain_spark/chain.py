@@ -1214,6 +1214,76 @@ class Chain:
             )
         return read_dataset(df.sparkSession, name, catalog_root=cat_root)
 
+    def merge_into(
+        self,
+        name: str,
+        on: Sequence[str] | None = None,
+        delete_col: str | None = None,
+        lsn_col: str | None = None,
+    ) -> dict:
+        """MERGE INTO a saved bucketed dataset (the Delta/Iceberg MERGE
+        analog; the reference's nearest surface is delta-save, which
+        re-diffs whole dataset versions — delta.py:240-396). Full-row
+        upsert by the TARGET's key_cols: matched keys are replaced, new
+        keys inserted, and rows where `delete_col` is true become delete
+        tombstones. Missing payload columns surface as NULL on the new
+        row version (full-row semantics, not column patching); NEW
+        columns in the source evolve the target schema.
+
+        Ordering: `lsn_col` supplies the LWW order (for sources carrying
+        their own change sequence); by default the whole merge gets one
+        fresh LSN above the table's watermark, so later merges beat
+        earlier ones and beat the save()-written base rows (their `_lsn`
+        is null, which sorts last under the LWW desc order). In-batch
+        duplicate keys resolve arbitrarily without `lsn_col` — pass it
+        when duplicates matter.
+
+        Execution is the SAME one-shuffle CDC apply as the streaming
+        path: cost O(this chain), never O(target); only touched buckets
+        gain a segment; the commit is atomic and shows up in
+        read_changes/stream_changes like any CDC batch."""
+        import uuid as _uuid
+
+        from datachain_spark.cdc.apply import apply_batch
+        from datachain_spark.namespaces import dataset_root
+
+        qname = self._settings.qualify(name)
+        table = LakeTable(dataset_root(self.catalog_root, qname))
+        key_cols = table.snapshot().key_cols
+        if not key_cols:
+            raise ValueError(
+                f"dataset {qname!r} was not saved with key_cols=; "
+                "it is not a merge target (save it bucketed first)"
+            )
+        if on is not None and list(on) != list(key_cols):
+            raise ValueError(
+                f"on={list(on)} does not match dataset key_cols {key_cols}"
+            )
+        df = self.df
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"source is missing key columns {missing}")
+        nxt = max(table.snapshot().watermarks.values(), default=-1) + 1
+        lsn = (
+            F.col(lsn_col).cast("long") if lsn_col else F.lit(int(nxt)).cast("long")
+        )
+        op = (
+            F.when(F.col(delete_col), F.lit("D")).otherwise(F.lit("U"))
+            if delete_col
+            else F.lit("U")
+        )
+        ev = df.withColumn("lsn", lsn).withColumn("op", op)
+        if delete_col:
+            ev = ev.drop(delete_col)
+        return apply_batch(
+            df.sparkSession,
+            table,
+            ev,
+            job_id=f"merge-{_uuid.uuid4().hex[:12]}",
+            batch_id=0,
+            normalize=False,
+        )
+
     # ---------- sinks (reference datachain.py:2352-2667) ----------
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:
         w = self.df.write.mode(mode)

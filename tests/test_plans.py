@@ -87,6 +87,8 @@ _SWEEP_SKIP = {
     "cdc_stream_changes",  # pruned scans (tests/test_changes.py covers both)
     "zorder_pruned_scan",  # writes the z-ordered copy eagerly; plan props in
     # tests/test_zorder.py (pushed filters + footer pruning)
+    "merge_into_dataset",  # saves + merges a real dataset eagerly; the apply
+    # plan is the audited one-shuffle CDC apply (test_cdc_apply_is_one_shuffle)
 }
 
 
