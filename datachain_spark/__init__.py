@@ -44,6 +44,7 @@ from datachain_spark.data_model import (
     is_chain_type,
 )
 from datachain_spark.error import DataChainError
+from datachain_spark.lake.table import LakeTable
 from datachain_spark.fileobj import (
     ArrowRow,
     Audio,
@@ -141,6 +142,7 @@ __all__ = [
     "Generator",
     "Image",
     "ImageFile",
+    "LakeTable",
     "Mapper",
     "ModelStore",
     "Session",
