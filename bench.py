@@ -192,7 +192,18 @@ def pair_stats(lv: dict[int, dict], a: int, b: int, label: str) -> dict:
     if lv[a].get("shuffle_probe_seconds") and lv[b].get("shuffle_probe_seconds"):
         shcap = lv[a]["shuffle_probe_seconds"] / lv[b]["shuffle_probe_seconds"]
         d["host_shuffle_fabric_ratio"] = round(shcap, 3)
-        d["efficiency_fabric_normalized"] = round((tput(lv, b) / tput(lv, a)) / shcap, 3)
+        if shcap < 1.0:
+            # 4N cores measuring LESS fabric than N is physically
+            # implausible in a clean window (observed once when another
+            # process hit the host mid-probe): record the raw ratio but
+            # refuse to normalize by it — a 4.5x "efficiency" from an
+            # inverted denominator is noise dressed as signal.
+            d["fabric_probe_anomalous"] = True
+            shcap = None
+        else:
+            d["efficiency_fabric_normalized"] = round(
+                (tput(lv, b) / tput(lv, a)) / shcap, 3
+            )
     if any(v.get("degraded_sequential") for v in (lv[a], lv[b])):
         d["degraded_sequential"] = True
     # supplementary: same-JVM paired samples of 8-busy vs 32-busy probe

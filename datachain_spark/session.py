@@ -77,6 +77,15 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # $SPARK_GRAFT_CONF: semicolon-separated k=v pairs applied LAST —
+    # an override hatch for deployment tuning and controlled A/B runs
+    # (e.g. SPARK_GRAFT_CONF="spark.io.compression.codec=zstd") without
+    # threading new parameters through every entry point.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in env_conf.split(";"):
+        if item.strip():
+            k, _, v = item.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
