@@ -263,6 +263,17 @@ def _emit(result: dict) -> None:
                 )
                 for p in sc["pairs"]
             },
+            # ALU-probe-normalized medians alongside raw: in a throttled
+            # host window the raw ratios measure the hypervisor, and the
+            # normalized figures are the context that says so (~130 bytes,
+            # inside the 1.5KB tail-capture budget)
+            "pairs_alu_normalized_per_turn": {
+                p["pair"].split(" (")[0]: p.get(
+                    "efficiency_capacity_normalized_per_turn",
+                    p.get("efficiency_capacity_normalized"),
+                )
+                for p in sc["pairs"]
+            },
         }
     line = json.dumps(summary)
     if len(line) > 1500:  # keep the tail-capture guarantee honest
