@@ -1333,6 +1333,25 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/lm.py: CCNet-style LM filter stage (Wenzek et al. 2020)
+    with a stupid-backoff bigram LM (Brants et al. 2007) — fit on the
+    English slice, score EVERY document by mean per-token log-prob, return
+    the 80 most out-of-domain (lowest) documents. Fit = two explode->
+    hash-agg passes over the reference slice; scoring = three broadcast
+    LM joins + one doc-keyed agg (map-side combine collapses the explode);
+    top-80 via TakeOrderedAndProject. The reference repo has no LM
+    scoring surface — beyond-reference training-data operator. Oracle
+    refits the same counts and replays the same three-branch backoff
+    arithmetic in SQL (same glibc ln, same round-6 discipline)."""
+    from datachain_spark.operators.lm import fit_bigram_lm, lm_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scores = lm_logprob(docs, lm, keep_cols=("lang",))
+    return scores.orderBy(F.col("lm_logprob").asc(), F.col("doc_id").asc()).limit(80)
+
+
 def merge_into_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain.merge_into — dataset-level MERGE (Delta/Iceberg MERGE analog;
     reference's nearest is delta-save's whole-version re-diff,
@@ -1545,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_corpus": dedup_spans_corpus,
         "bm25_search_topk": bm25_search_topk,
         "dsir_importance_select": dsir_importance_select,
+        "lm_perplexity_outliers": lm_perplexity_outliers,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2473,6 +2493,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "lm_perplexity_outliers": """
+            -- stupid-backoff bigram LM refit from first principles: fit
+            -- counts on the English slice, three-branch backoff terms
+            -- (bigram / first-token smoothed unigram / alpha-backoff
+            -- smoothed unigram), mean per-token ln rounded to 6
+            WITH tok AS (
+              SELECT doc_id, lang, regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(ts) AS w FROM tok WHERE lang = 'en')
+              GROUP BY w
+            ),
+            tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS tv
+              FROM uni
+            ),
+            bi AS (
+              SELECT bg, count(*) AS c
+              FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bg
+                    FROM tok WHERE lang = 'en' AND len(ts) >= 2)
+              GROUP BY bg
+            ),
+            pairs AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                       CASE WHEN len(ts) >= 1
+                            THEN [{'p': CAST(NULL AS VARCHAR), 'c': ts[1]}]
+                            ELSE [] END,
+                       CASE WHEN len(ts) >= 2
+                            THEN list_transform(range(1, len(ts)),
+                                   i -> {'p': ts[i], 'c': ts[i+1]})
+                            ELSE [] END)) AS pc
+              FROM tok
+            ),
+            terms AS (
+              SELECT p.doc_id, p.lang,
+                     CASE WHEN b.c IS NOT NULL
+                            THEN ln(CAST(b.c AS DOUBLE) / up.c)
+                          WHEN p.pc.p IS NULL
+                            THEN ln((coalesce(uc.c, 0) + 1.0) / (SELECT tv FROM tot))
+                          ELSE ln(0.4 * (coalesce(uc.c, 0) + 1.0) / (SELECT tv FROM tot))
+                     END AS term
+              FROM pairs p
+              LEFT JOIN bi b ON b.bg = p.pc.p || ' ' || p.pc.c
+              LEFT JOIN uni up ON up.w = p.pc.p
+              LEFT JOIN uni uc ON uc.w = p.pc.c
+            ),
+            scored AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     round(sum(term) / count(*), 6) AS lm_logprob
+              FROM terms GROUP BY doc_id
+            )
+            SELECT doc_id, lang, lm_logprob FROM scored
+            ORDER BY lm_logprob ASC, doc_id ASC LIMIT 80
         """,
         "merge_into_dataset": """
             -- the same MERGE replayed in SQL: %10 slice updated (+1000),

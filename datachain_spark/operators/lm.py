@@ -1,0 +1,202 @@
+"""CCNet-style n-gram LM scoring for pretraining-corpus curation:
+fit a stupid-backoff bigram language model (Brants et al. 2007, "Large
+Language Models in Machine Translation") on a reference corpus, then
+score every document by its mean per-token log-probability — the filter
+stage CCNet (Wenzek et al. 2020) runs with KenLM. Low-probability
+documents are boilerplate/garbled/out-of-domain; high ones are fluent
+in-domain prose.
+
+The reference (tfantas/datachain) has no LM scoring surface at all — this
+is a beyond-reference training-data operator in the same family as DSIR
+(operators/sampling.py) and the Gopher filters (operators/gopher.py).
+
+Scale shape (the 100 TB audit):
+- FIT is two explode -> hash-agg passes (ONE shuffle each, map-side
+  combined); output cardinality is the vocabulary, not the corpus.
+  `min_count` prunes the bigram table (the big one — unigrams stay whole
+  so backoff denominators remain exact); a pruned bigram falls back to
+  the smoothed-unigram path, which is the same semantics the model
+  assigns any unseen bigram.
+- SCORE is explode -> three LEFT equi-joins against the LM tables
+  (broadcast by default: a few-GB vocab table beats shuffling a 100 TB
+  exploded corpus; set broadcast_lm=False to let AQE pick a shuffle join
+  when the LM outgrows executor memory) -> ONE doc-keyed hash agg whose
+  map-side combine collapses the exploded rows back to one per document
+  before the exchange.
+- Floats: every term is ln of a ratio of integer counts; the per-doc mean
+  is rounded to 6 decimals (the dsir_select discipline), so the DuckDB
+  driver oracle reproduces values exactly despite summation-order drift.
+
+Tokenization matches the dsir oracle token class ([a-z]+|[0-9]+|punct on
+lowercased text) so one SQL CTE serves both operators' oracles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datachain_spark.operators.dedup import sliding_ngrams
+
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def lm_tokens(text: Column) -> Column:
+    """Lowercased word/number/punct tokens (codegen regexp_extract_all)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+@dataclass
+class BigramLM:
+    """A fitted stupid-backoff bigram LM. `uni`/`bi` are count DataFrames
+    (columns w/c and bg/c) — persist()ed by fit; call `unpersist()` when
+    done, or write them to a table for reuse across jobs."""
+
+    uni: DataFrame  # (w: string, c: long)
+    bi: DataFrame  # (bg: "prev cur" string, c: long)
+    total: float  # sum of unigram counts (corpus token count)
+    vocab: float  # distinct unigram count
+
+    def unpersist(self) -> None:
+        self.uni.unpersist()
+        self.bi.unpersist()
+
+
+def fit_bigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    cache: bool = True,
+) -> BigramLM:
+    """Fit unigram+bigram count tables on `ref`. One explode->hash-agg
+    shuffle per order; totals are a single O(1) driver aggregate (the
+    same collect both scoring branches need as plan literals)."""
+    toks = lm_tokens(F.col(text_col))
+    t = ref.select(toks.alias("__ts"))
+    uni = (
+        t.select(F.explode("__ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = F.size("__ts") - F.lit(1)
+    empty = F.array().cast("array<string>")
+    bi_arr = F.when(k >= 1, sliding_ngrams(F.col("__ts"), 2, k)).otherwise(empty)
+    bi = (
+        t.select(F.explode(bi_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        # prune only bigrams: unigram counts stay exact so the c(prev)
+        # denominator and the backoff numerator never shift under pruning
+        bi = bi.filter(F.col("c") >= min_count)
+    if cache:
+        uni = uni.persist()
+        bi = bi.persist()
+    row = uni.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
+    return BigramLM(
+        uni=uni, bi=bi, total=float(row["t"] or 0), vocab=float(row["v"] or 0)
+    )
+
+
+def lm_logprob(
+    docs: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """Mean per-token log-probability of each document under the LM.
+
+    Per position i the term is
+      ln(c(w_{i-1} w_i) / c(w_{i-1}))            bigram seen
+      ln((c(w_i)+1) / (T+V))                     first token (no context)
+      ln(alpha * (c(w_i)+1) / (T+V))             backoff (bigram unseen)
+    with T = corpus tokens, V = vocabulary size — add-1-smoothed unigrams
+    so OOV tokens stay finite. Documents with zero tokens carry no
+    evidence and are excluded (same contract as dsir_select)."""
+    if lm.total <= 0:
+        raise ValueError("LM fitted on an empty corpus")
+    toks = lm_tokens(F.col(text_col))
+    n = F.size(toks)
+    empty_s = F.array().cast("array<string>")
+    # position-aligned (prev, cur) pairs: [(NULL, w0), (w0, w1), ...].
+    # zip_with evaluates its array args once per ROW (never capture an
+    # outer expression inside a transform lambda — see sliding_ngrams).
+    prev_full = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.when(n >= 2, F.slice(toks, 1, n - F.lit(1))).otherwise(empty_s),
+    )
+    # zip_with pads the SHORTER array with nulls, so a zero-token doc
+    # would yield one (null, null) pair from prev_full's leading NULL —
+    # guard to an empty array so explode drops the doc entirely
+    pairs = F.when(
+        n >= 1,
+        F.zip_with(prev_full, toks, lambda p, c: F.struct(p.alias("p"), c.alias("c"))),
+    ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+
+    keep = [F.col(c) for c in keep_cols]
+    ex = docs.select(F.col(id_col), *keep, F.explode(pairs).alias("pc")).select(
+        id_col,
+        *keep_cols,
+        F.col("pc.p").alias("__p"),
+        F.col("pc.c").alias("__c"),
+    )
+
+    maybe_b = F.broadcast if broadcast_lm else (lambda df: df)
+    bi = maybe_b(lm.bi.select(F.col("bg"), F.col("c").alias("__cbi")))
+    up = maybe_b(lm.uni.select(F.col("w").alias("__pw"), F.col("c").alias("__cp")))
+    uc = maybe_b(lm.uni.select(F.col("w").alias("__cw"), F.col("c").alias("__cc")))
+
+    j = (
+        ex.join(
+            bi,
+            bi["bg"] == F.concat(F.col("__p"), F.lit(" "), F.col("__c")),
+            "left",
+        )
+        .join(up, F.col("__pw") == F.col("__p"), "left")
+        .join(uc, F.col("__cw") == F.col("__c"), "left")
+    )
+    tv = F.lit(lm.total + lm.vocab)
+    smoothed = (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(1.0)) / tv
+    term = (
+        F.when(
+            F.col("__cbi").isNotNull(),
+            F.log(F.col("__cbi").cast("double") / F.col("__cp")),
+        )
+        .when(F.col("__p").isNull(), F.log(smoothed))
+        .otherwise(F.log(F.lit(alpha) * (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(1.0)) / tv))
+    )
+    return j.groupBy(id_col, *keep_cols).agg(
+        F.round(F.sum(term) / F.count(F.lit(1)), 6).alias(out_col)
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: BigramLM,
+    min_logprob: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Keep documents whose mean per-token log-prob clears the floor
+    (CCNet keeps the low-perplexity head/middle of the distribution).
+    Joins scores back on the id (scores are 1:1 with docs)."""
+    scores = lm_logprob(
+        docs,
+        lm,
+        text_col=text_col,
+        id_col=id_col,
+        alpha=alpha,
+        broadcast_lm=broadcast_lm,
+    )
+    kept = scores.filter(F.col("lm_logprob") >= min_logprob)
+    # corpus-sized id set: a key-partitioned LEFT SEMI, never a broadcast
+    return docs.join(kept.select(id_col), on=id_col, how="left_semi")

@@ -36,6 +36,7 @@ HEADLINE = [
     "token_budget_mixture",
     "bm25_search_topk",
     "dsir_importance_select",
+    "lm_perplexity_outliers",
 ]
 
 
