@@ -1333,6 +1333,31 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/retrieval.hybrid_search: BM25 top-50 + brute-force
+    cosine top-50 (query = embedding 0, self excluded) fused by
+    Reciprocal Rank Fusion (Cormack et al. 2009), top-15. The reference
+    has no retrieval surface at all — beyond-reference curation operator
+    composing two independently-oracled components. Oracle replays both
+    rankings (BM25 ranks on the round-6 score, cosine on the raw sim with
+    id tie-break — the existing precedents) and the 1/(60+rank) fusion in
+    SQL."""
+    from datachain_spark.operators.retrieval import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_search(
+        docs,
+        emb,
+        "spark window merge",
+        [float(x) for x in qv],
+        k=15,
+        n_candidates=50,
+        exclude_vec_id=0,
+    )
+
+
 def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/lm.py: CCNet-style LM filter stage (Wenzek et al. 2020)
     with a stupid-backoff bigram LM (Brants et al. 2007) — fit on the
@@ -1565,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_topk": bm25_search_topk,
         "dsir_importance_select": dsir_importance_select,
         "lm_perplexity_outliers": lm_perplexity_outliers,
+        "hybrid_rrf_search": hybrid_rrf_search,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2493,6 +2519,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "hybrid_rrf_search": """
+            -- both rankings from first principles + 1/(60+rank) fusion:
+            -- BM25 ranks on the round-6 score (deterministic tie-break),
+            -- cosine ranks on the raw sim (ann_cosine_topk precedent)
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+              FROM documents
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(len(ts) AS DOUBLE)) AS avgdl
+              FROM toks
+            ),
+            posts AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks
+            ),
+            tf AS (
+              SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+              FROM posts WHERE term IN ('spark', 'window', 'merge')
+              GROUP BY term, doc_id, dl
+            ),
+            dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            bscore AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                     ), 6) AS score
+              FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            ),
+            brk AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+              FROM bscore QUALIFY rk <= 50
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            csim AS (
+              SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            ),
+            crk AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rk
+              FROM csim QUALIFY rk <= 50
+            ),
+            fused AS (
+              SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60.0 + b.rk), 0)
+                           + coalesce(1.0 / (60.0 + c.rk), 0), 6) AS rrf_score,
+                     CAST(CASE WHEN b.rk IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN c.rk IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                       AS n_lists,
+                     b.rk AS bm25_rk, c.rk AS cos_rk
+              FROM brk b FULL OUTER JOIN crk c ON b.doc_id = c.doc_id
+            )
+            SELECT doc_id, rrf_score, n_lists, bm25_rk, cos_rk FROM fused
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
         """,
         "lm_perplexity_outliers": """
             -- stupid-backoff bigram LM refit from first principles: fit

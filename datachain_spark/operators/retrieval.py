@@ -149,3 +149,94 @@ def bm25_topk(
     n_docs, avgdl = corpus_norms(df, text_col)
     postings = build_text_index(df, text_col, id_col)
     return bm25_search(postings, n_docs, avgdl, query, k=k, k1=k1, b=b)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k_rrf: float = 60.0,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): fuse candidate lists
+    by sum(1 / (k_rrf + rank)); absent-from-a-list contributes nothing.
+    Inputs are top-N candidate lists (driver-bounded, a few hundred rows),
+    so the union + hash-agg here is metadata-cheap — the corpus-scale work
+    lives in the upstream searches. Deterministic output: the fused score
+    rounds to 6 (plain double ops both engines reproduce) before the
+    (score desc, id asc) tie-break."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 100,
+    k_rrf: float = 60.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-N and brute-force
+    cosine top-N fused with RRF — the standard production recipe (e.g.
+    OpenSearch/Elastic hybrid mode) for curation-time search where neither
+    keywords nor embeddings alone suffice.
+
+    Scale shape: the BM25 side touches only the query terms' postings;
+    the cosine side is one scan + TakeOrderedAndProject with the O(dim)
+    query vector as plan literals (swap in lsh_topk/ivf_topk from
+    operators/similarity.py for sub-scan latency); fusion joins two
+    driver-bounded top-N lists. BM25 ranks on the round-6 score
+    (cross-engine deterministic); cosine ranks on the raw sim with id
+    tie-break (the ann_cosine_topk precedent). Output keeps the component
+    ranks (NULL = absent from that list) for debuggability."""
+    from pyspark.sql import Window
+
+    from datachain_spark.operators.similarity import cosine_similarity
+
+    bm = bm25_topk(docs, query_text, k=n_candidates, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    bm_rk = bm.select(F.col(id_col), F.row_number().over(w).alias("rk"))
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sims = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        cosine_similarity(F.transform(vec_col, lambda x: x.cast("double")), qv).alias(
+            "sim"
+        ),
+    )
+    if exclude_vec_id is not None:
+        sims = sims.filter(F.col(id_col) != exclude_vec_id)
+    cand = sims.orderBy(F.desc("sim"), F.asc(id_col)).limit(n_candidates)
+    wc = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    cos_rk = cand.select(F.col(id_col), F.row_number().over(wc).alias("rk"))
+
+    fused = rrf_fuse([bm_rk, cos_rk], id_col=id_col, k=k, k_rrf=k_rrf)
+    return (
+        fused.join(bm_rk.withColumnRenamed("rk", "bm25_rk"), id_col, "left")
+        .join(cos_rk.withColumnRenamed("rk", "cos_rk"), id_col, "left")
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )

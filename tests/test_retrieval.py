@@ -122,3 +122,66 @@ def test_index_postings_shape(spark):
     byk = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in posts}
     assert byk[("spark", 1)] == (3, 5)
     assert byk[("join", 5)] == (12, 12)
+
+
+def test_rrf_fuse_closed_form(spark):
+    """Hand-checked RRF arithmetic, including a doc present in only one
+    list and the (score desc, id asc) tie-break."""
+    from datachain_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rk"])
+    b = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rk"])
+    out = {r.doc_id: (r.rrf_score, r.n_lists) for r in rrf_fuse([a, b], k=10).collect()}
+    assert out == {
+        10: (round(1 / 61, 6), 1),
+        20: (round(1 / 62 + 1 / 61, 6), 2),
+        30: (round(1 / 63, 6), 1),
+        40: (round(1 / 62, 6), 1),
+    }
+    # doc 20 (both lists) must outrank every single-list doc here
+    ranked = [r.doc_id for r in rrf_fuse([a, b], k=10).collect()]
+    assert ranked[0] == 20
+
+
+def test_rrf_fuse_validates_empty(spark):
+    from datachain_spark.operators.retrieval import rrf_fuse
+
+    try:
+        rrf_fuse([])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_hybrid_search_fuses_both_signals(spark):
+    """A doc ranked mid-list by BOTH signals beats docs that only one
+    signal surfaces; component ranks are carried (NULL when absent)."""
+    from datachain_spark.operators.retrieval import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),       # lexical-only hit
+            (2, "spark window"),            # both: lexical + close vector
+            (3, "nothing relevant here"),   # vector-only hit
+            (4, "unrelated filler text"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [1.0, 0.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = hybrid_search(docs, emb, "spark window", [1.0, 0.0], k=4, n_candidates=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2].n_lists == 2 and rows[2].bm25_rk is not None and rows[2].cos_rk is not None
+    top = out.collect()[0]
+    assert top.doc_id == 2
+    # lexical-only doc 1: present in bm25 list, absent from cos top-3?
+    # (cos top-3 of 4 docs excludes the worst: doc 4 at sim -1)
+    assert rows[1].bm25_rk is not None
+    assert rows[4].cos_rk is None if 4 in rows else True

@@ -37,6 +37,7 @@ HEADLINE = [
     "bm25_search_topk",
     "dsir_importance_select",
     "lm_perplexity_outliers",
+    "hybrid_rrf_search",
 ]
 
 
