@@ -1333,6 +1333,38 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def dedup_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sequences.py: sequence-level (conversation-level) exact
+    dedup — the same conversation re-ingested under a new id survives
+    row-level dedup (every key differs) but is pure duplication at
+    training time. Plant duplicates: union events with a +10000-shifted
+    copy of the user_id%5==0 users, fingerprint each user's event_id-
+    ordered event_type sequence (md5 over unit-separator joins — DuckDB
+    reproduces it byte-for-byte), keep the MIN user_id per fingerprint.
+    Returns every user with its fingerprint and kept flag: exactly the
+    planted copies drop. ONE groupBy shuffle (per-group state = that
+    user's own rows), O(groups) winner agg."""
+    from datachain_spark.operators.sequences import sequence_fingerprint
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    planted = ev.filter(F.col("user_id") % 5 == 0).withColumn(
+        "user_id", F.col("user_id") + F.lit(10000)
+    )
+    u = ev.unionByName(planted)
+    fps = sequence_fingerprint(u, ["user_id"], ["event_id"], ["event_type"])
+    winner = fps.groupBy("seq_fp").agg(F.min("user_id").alias("__w"))
+    return (
+        fps.join(winner, "seq_fp")
+        .select(
+            "user_id",
+            "n_items",
+            "seq_fp",
+            (F.col("user_id") == F.col("__w")).alias("kept"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/retrieval.hybrid_search: BM25 top-50 + brute-force
     cosine top-50 (query = embedding 0, self excluded) fused by
@@ -1591,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_select": dsir_importance_select,
         "lm_perplexity_outliers": lm_perplexity_outliers,
         "hybrid_rrf_search": hybrid_rrf_search,
+        "dedup_event_sequences": dedup_event_sequences,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2519,6 +2552,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "dedup_event_sequences": """
+            -- same planted duplicates, same md5-over-chr(31)-joined
+            -- ordered sequence, same min-user_id winner rule
+            WITH u AS (
+              SELECT event_id, user_id, event_type FROM events
+              UNION ALL
+              SELECT event_id, user_id + 10000, event_type
+              FROM events WHERE user_id % 5 = 0
+            ),
+            fp AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+                     md5(string_agg(coalesce(event_type, '\\N'), chr(31)
+                           ORDER BY event_id, coalesce(event_type, '\\N')))
+                       AS seq_fp
+              FROM u GROUP BY user_id
+            ),
+            winner AS (SELECT seq_fp, min(user_id) AS w FROM fp GROUP BY seq_fp)
+            SELECT f.user_id, f.n_items, f.seq_fp, (f.user_id = w.w) AS kept
+            FROM fp f JOIN winner w USING (seq_fp)
+            ORDER BY f.user_id
         """,
         "hybrid_rrf_search": """
             -- both rankings from first principles + 1/(60+rank) fusion:

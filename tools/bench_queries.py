@@ -38,6 +38,7 @@ HEADLINE = [
     "dsir_importance_select",
     "lm_perplexity_outliers",
     "hybrid_rrf_search",
+    "dedup_event_sequences",
 ]
 
 
