@@ -1333,6 +1333,26 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "dsir_score")
 
 
+def ccnet_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/lm.ccnet_buckets: CCNet's actual selection rule (Wenzek
+    et al. 2020 §4.3) — rank the corpus by LM score, split head/middle/
+    tail at the 1/3 and 2/3 exact percentiles (O(1) driver metadata ->
+    plan literals), report per-(lang, bucket) counts. Cut comparisons are
+    cross-engine safe: doc scores are round-6 quantized, so a percentile
+    either equals a quantized value exactly or falls strictly between two
+    of them — a 1-ulp interpolation difference can never flip a >=."""
+    from datachain_spark.operators.lm import ccnet_buckets, fit_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"))
+    b = ccnet_buckets(docs, lm, keep_cols=("lang",))
+    return (
+        b.groupBy("lang", "lm_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lm_bucket")
+    )
+
+
 def dedup_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sequences.py: sequence-level (conversation-level) exact
     dedup — the same conversation re-ingested under a new id survives
@@ -1624,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_outliers": lm_perplexity_outliers,
         "hybrid_rrf_search": hybrid_rrf_search,
         "dedup_event_sequences": dedup_event_sequences,
+        "ccnet_bucket_counts": ccnet_bucket_counts,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2552,6 +2573,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
+        """,
+        "ccnet_bucket_counts": """
+            -- the lm_perplexity_outliers scoring CTEs + CCNet head/middle/
+            -- tail cuts at exact interpolated percentiles of the round-6
+            -- scores (fraction literals spelled as the same double ops)
+            WITH tok AS (
+              SELECT doc_id, lang, regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(ts) AS w FROM tok WHERE lang = 'en')
+              GROUP BY w
+            ),
+            tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS tv
+              FROM uni
+            ),
+            bi AS (
+              SELECT bg, count(*) AS c
+              FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bg
+                    FROM tok WHERE lang = 'en' AND len(ts) >= 2)
+              GROUP BY bg
+            ),
+            pairs AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                       CASE WHEN len(ts) >= 1
+                            THEN [{'p': CAST(NULL AS VARCHAR), 'c': ts[1]}]
+                            ELSE [] END,
+                       CASE WHEN len(ts) >= 2
+                            THEN list_transform(range(1, len(ts)),
+                                   i -> {'p': ts[i], 'c': ts[i+1]})
+                            ELSE [] END)) AS pc
+              FROM tok
+            ),
+            terms AS (
+              SELECT p.doc_id, p.lang,
+                     CASE WHEN b.c IS NOT NULL
+                            THEN ln(CAST(b.c AS DOUBLE) / up.c)
+                          WHEN p.pc.p IS NULL
+                            THEN ln((coalesce(uc.c, 0) + 1.0) / (SELECT tv FROM tot))
+                          ELSE ln(0.4 * (coalesce(uc.c, 0) + 1.0) / (SELECT tv FROM tot))
+                     END AS term
+              FROM pairs p
+              LEFT JOIN bi b ON b.bg = p.pc.p || ' ' || p.pc.c
+              LEFT JOIN uni up ON up.w = p.pc.p
+              LEFT JOIN uni uc ON uc.w = p.pc.c
+            ),
+            scored AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     round(sum(term) / count(*), 6) AS lm_logprob
+              FROM terms GROUP BY doc_id
+            ),
+            cuts AS (
+              SELECT quantile_cont(lm_logprob, 1.0 - 1.0/3.0) AS c_head,
+                     quantile_cont(lm_logprob, 1.0 - 2.0/3.0) AS c_tail
+              FROM scored
+            ),
+            bkt AS (
+              SELECT s.lang,
+                     CASE WHEN s.lm_logprob >= c.c_head THEN 'head'
+                          WHEN s.lm_logprob >= c.c_tail THEN 'middle'
+                          ELSE 'tail' END AS lm_bucket
+              FROM scored s CROSS JOIN cuts c
+            )
+            SELECT lang, lm_bucket, CAST(count(*) AS BIGINT) AS n_docs
+            FROM bkt GROUP BY lang, lm_bucket ORDER BY lang, lm_bucket
         """,
         "dedup_event_sequences": """
             -- same planted duplicates, same md5-over-chr(31)-joined

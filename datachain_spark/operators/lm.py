@@ -200,3 +200,51 @@ def perplexity_filter(
     kept = scores.filter(F.col("lm_logprob") >= min_logprob)
     # corpus-sized id set: a key-partitioned LEFT SEMI, never a broadcast
     return docs.join(kept.select(id_col), on=id_col, how="left_semi")
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lm: BigramLM,
+    head: float = 1 / 3,
+    tail: float = 2 / 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+    bucket_col: str = "lm_bucket",
+) -> DataFrame:
+    """CCNet's actual selection rule (Wenzek et al. 2020 §4.3): rank the
+    corpus by LM score and split into head/middle/tail thirds — training
+    recipes then keep head(+middle). `head`/`tail` are the cumulative
+    fractions of the (best-first) ranking where the buckets end.
+
+    The cut points are two exact interpolated percentiles of the round-6
+    per-doc log-probs, collected as O(1) driver metadata and compared as
+    plan literals — one extra pass over the scores, zero extra shuffles
+    beyond lm_logprob's. Cross-engine determinism: doc scores are round-6
+    quantized, and an interpolated percentile either equals a quantized
+    value exactly (equal neighbors) or falls strictly between two of
+    them, so a 1-ulp interpolation difference between engines can never
+    flip a >= comparison."""
+    if not 0 < head <= tail <= 1:
+        raise ValueError("need 0 < head <= tail <= 1")
+    scored = lm_logprob(
+        docs,
+        lm,
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=keep_cols,
+        alpha=alpha,
+        broadcast_lm=broadcast_lm,
+    ).persist()
+    # best-first fractions -> logprob-axis percentiles (higher lp = better)
+    fr = F.array(F.lit(1.0 - head), F.lit(1.0 - tail))
+    cuts = scored.agg(F.percentile("lm_logprob", fr).alias("c")).collect()[0]["c"]
+    c_head, c_tail = float(cuts[0]), float(cuts[1])
+    bucket = (
+        F.when(F.col("lm_logprob") >= F.lit(c_head), F.lit("head"))
+        .when(F.col("lm_logprob") >= F.lit(c_tail), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn(bucket_col, bucket)

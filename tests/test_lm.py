@@ -124,3 +124,38 @@ def test_lm_scoring_plan_broadcasts_and_single_agg_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     lm.unpersist()
+
+
+def test_ccnet_buckets_thirds_and_ordering(spark):
+    """Buckets partition the corpus into (near-)thirds and are monotone:
+    every head score >= every middle score >= every tail score."""
+    from datachain_spark.operators.lm import ccnet_buckets
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"))
+    b = ccnet_buckets(docs, lm)
+    rows = [(r.lm_bucket, r.lm_logprob) for r in b.collect()]
+    n = len(rows)
+    by = {}
+    for k, v in rows:
+        by.setdefault(k, []).append(v)
+    assert set(by) == {"head", "middle", "tail"}
+    # exact percentile cuts put ~n/3 in each bucket (ties can shift a few)
+    for k in by:
+        assert abs(len(by[k]) - n / 3) <= max(2, 0.02 * n), (k, len(by[k]), n)
+    assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"])
+    assert min(by["middle"]) >= max(by["tail"])
+    lm.unpersist()
+
+
+def test_ccnet_buckets_validates_fractions(spark):
+    from datachain_spark.operators.lm import ccnet_buckets
+
+    lm = fit_bigram_lm(_ref(spark))
+    docs = spark.createDataFrame([("d", "a b")], ["doc_id", "text"])
+    try:
+        ccnet_buckets(docs, lm, head=0.9, tail=0.5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    lm.unpersist()
