@@ -1385,6 +1385,91 @@ def dedup_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.fit_bpe: distributed BPE tokenizer training (Sennrich
+    et al. 2016) — 5 merges learned from the documents corpus, char-level
+    over the word-frequency vocabulary. One corpus-scale shuffle builds
+    the vocab; each merge is a vocab-sized pair-count aggregation plus an
+    O(1) argmax collect, and the merge itself is a codegen greedy fold.
+    The reference has no tokenizer surface (nearest: scalar string funcs,
+    src/datachain/func/string.py). Oracle: the same 5 steps unrolled as
+    CTE chains — greedy merges via the parity-of-consecutive-match-runs
+    formulation, which equals the left-to-right greedy scan (overlaps only
+    arise when left==right, where runs of matches merge at odd offsets)."""
+    from datachain_spark.operators.bpe import fit_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, num_merges=5)
+    schema = "step int, left_sym string, right_sym string, pair_count bigint"
+    return spark.createDataFrame(
+        [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in merges],
+        schema,
+    ).orderBy("step")
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
+    (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
+    match positions i where (syms[i], syms[i+1]) = (l, r); consecutive
+    match positions form runs (only possible when l = r); keep every other
+    position per run starting at the first — identical to the left-to-
+    right greedy scan fit_bpe's codegen fold implements."""
+    parts = [
+        r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                    w -> len(w) > 0)) AS w
+          FROM documents
+        ),
+        v0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+          FROM tok GROUP BY w
+        )"""
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        p{k} AS (
+          SELECT e.pr.l AS l, e.pr.r AS r, sum(freq) AS c
+          FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+                       i -> {{'l': syms[i], 'r': syms[i+1]}})) AS pr
+                FROM v{p}) e
+          GROUP BY e.pr.l, e.pr.r
+        ),
+        b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+        m{k} AS (
+          SELECT v.w, v.freq, v.syms, b.l, b.r,
+                 list_filter(range(1, len(v.syms)),
+                             i -> v.syms[i] = b.l AND v.syms[i+1] = b.r) AS mp
+          FROM v{p} v CROSS JOIN b{k} b
+        ),
+        f{k} AS (
+          SELECT w, freq, syms, l, r,
+                 list_filter(mp, (pos, i) ->
+                   (i - list_position(list_transform(mp, (q, j) -> q - j),
+                                      pos - i)) % 2 = 0) AS mpos
+          FROM m{k}
+        ),
+        v{k} AS (
+          SELECT w, freq,
+                 list_filter(list_transform(range(1, len(syms) + 1),
+                   i -> CASE WHEN list_contains(mpos, i) THEN syms[i] || syms[i+1]
+                             WHEN list_contains(mpos, i - 1) THEN NULL
+                             ELSE syms[i] END),
+                   x -> x IS NOT NULL) AS syms
+          FROM f{k}
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    parts.append(f"\n        {selects} ORDER BY step")
+    return "".join(parts)
+
+
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/retrieval.hybrid_search: BM25 top-50 + brute-force
     cosine top-50 (query = embedding 0, self excluded) fused by
@@ -1645,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": hybrid_rrf_search,
         "dedup_event_sequences": dedup_event_sequences,
         "ccnet_bucket_counts": ccnet_bucket_counts,
+        "bpe_train_merges": bpe_train_merges,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2574,6 +2660,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, dsir_score FROM scored
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
         """,
+        "bpe_train_merges": _bpe_oracle(5),
         "ccnet_bucket_counts": """
             -- the lm_perplexity_outliers scoring CTEs + CCNet head/middle/
             -- tail cuts at exact interpolated percentiles of the round-6
