@@ -1407,6 +1407,43 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transcripts.render_conversations: row-per-turn
+    conversations -> one rendered role-tagged training example per
+    conversation + loss-mask character spans (the SFT 'mask everything
+    except the assistant turns' recipe). Events stand in as conversations
+    (conv=user_id, order=event_id, role=event_type, text=props; mask role
+    'click'). One groupBy(conv) shuffle, everything after is codegen array
+    expressions (sort_array, prefix-sum aggregate, filter). Flattened to
+    one row per span so the driver hashes scalars, not nested structs.
+    Oracle rebuilds the rendering and the offset arithmetic with DuckDB
+    list functions."""
+    from datachain_spark.operators.transcripts import render_conversations
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    r = render_conversations(df, mask_roles=("click",))
+    return (
+        r.select(
+            "conv_id", "n_turns", "text", F.posexplode("loss_spans").alias("i", "sp")
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "text",
+            (F.col("i") + 1).cast("int").alias("span_idx"),
+            F.col("sp.s").alias("s"),
+            F.col("sp.e").alias("e"),
+        )
+        .orderBy("conv_id", "span_idx")
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1731,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_event_sequences": dedup_event_sequences,
         "ccnet_bucket_counts": ccnet_bucket_counts,
         "bpe_train_merges": bpe_train_merges,
+        "sft_render_spans": sft_render_spans,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2661,6 +2699,63 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
         """,
         "bpe_train_merges": _bpe_oracle(5),
+        "sft_render_spans": r"""
+            -- same rendering: sort turns by event_id, '<|role|>text'
+            -- pieces joined on \n, prefix-sum starts, spans = masked
+            -- turns' text content, flattened one row per span
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+                     event_type AS role, coalesce(props, '') AS txt
+              FROM events WHERE user_id < 40
+            ),
+            g AS (
+              SELECT conv_id,
+                     list_transform(
+                       list_sort(list(struct_pack(o := event_id, role := role,
+                                                  text := txt))),
+                       u -> struct_pack(role := u.role, text := u.text)) AS turns
+              FROM t GROUP BY conv_id
+            ),
+            p AS (
+              SELECT conv_id, turns,
+                     list_transform(turns, u -> '<|' || u.role || '|>' || u.text)
+                       AS pieces,
+                     list_transform(turns, u -> CAST(len(u.role) + 4 AS BIGINT))
+                       AS taglens
+              FROM g
+            ),
+            q AS (
+              SELECT conv_id, turns, pieces, taglens,
+                     list_transform(pieces, x -> CAST(len(x) AS BIGINT)) AS lens
+              FROM p
+            ),
+            r AS (
+              SELECT conv_id, turns, pieces, taglens, lens,
+                     list_transform(range(1, len(turns) + 1),
+                       i -> CAST(coalesce(list_sum(list_slice(lens, 1, i - 1)), 0)
+                                 + (i - 1) AS BIGINT)) AS starts
+              FROM q
+            ),
+            s AS (
+              SELECT conv_id,
+                     CAST(len(turns) AS INTEGER) AS n_turns,
+                     array_to_string(pieces, chr(10)) AS text,
+                     list_filter(list_transform(range(1, len(turns) + 1),
+                       i -> CASE WHEN turns[i].role = 'click'
+                                 THEN struct_pack(s := starts[i] + taglens[i],
+                                                  e := starts[i] + lens[i])
+                                 ELSE NULL END), x -> x IS NOT NULL) AS spans
+              FROM r
+            ),
+            f AS (
+              SELECT conv_id, n_turns, text, spans,
+                     unnest(range(1, len(spans) + 1)) AS i
+              FROM s
+            )
+            SELECT conv_id, n_turns, text, CAST(i AS INTEGER) AS span_idx,
+                   spans[i].s AS s, spans[i].e AS e
+            FROM f ORDER BY conv_id, span_idx
+        """,
         "ccnet_bucket_counts": """
             -- the lm_perplexity_outliers scoring CTEs + CCNet head/middle/
             -- tail cuts at exact interpolated percentiles of the round-6

@@ -1,0 +1,121 @@
+"""render_conversations (operators/transcripts.py): transcript rows ->
+role-tagged rendered text + loss-mask character spans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.operators.transcripts import render_conversations
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, text: string"
+    )
+
+
+def test_render_closed_form(spark):
+    df = _conv(
+        spark,
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello!"),
+            ("c1", 2, "user", "bye"),
+            ("c1", 3, "assistant", "ok"),
+        ],
+    )
+    r = render_conversations(df).collect()[0]
+    expect = "<|user|>hi\n<|assistant|>hello!\n<|user|>bye\n<|assistant|>ok"
+    assert r["text"] == expect
+    assert r["n_turns"] == 4
+    spans = [(s["s"], s["e"]) for s in r["loss_spans"]]
+    # check against python: spans cover exactly the assistant texts
+    for (s, e), want in zip(spans, ["hello!", "ok"]):
+        assert expect[s:e] == want
+    assert len(spans) == 2
+
+
+def test_render_null_text_and_order(spark):
+    # out-of-order input rows; NULL text renders '' with an empty span
+    df = _conv(
+        spark,
+        [
+            ("c1", 1, "assistant", None),
+            ("c1", 0, "user", "q"),
+        ],
+    )
+    r = render_conversations(df).collect()[0]
+    assert r["text"] == "<|user|>q\n<|assistant|>"
+    (s, e) = (r["loss_spans"][0]["s"], r["loss_spans"][0]["e"])
+    assert s == e == len(r["text"])
+
+
+def test_render_mask_roles_variants(spark):
+    df = _conv(
+        spark,
+        [("c1", 0, "user", "a"), ("c1", 1, "tool", "b"), ("c1", 2, "assistant", "c")],
+    )
+    both = render_conversations(df, mask_roles=("assistant", "tool")).collect()[0]
+    assert len(both["loss_spans"]) == 2
+    none = render_conversations(df, mask_roles=()).collect()[0]
+    assert none["loss_spans"] == []
+    with pytest.raises(ValueError):
+        render_conversations(df, sep="")
+
+
+def test_render_spans_cover_masked_turns_property(spark):
+    """On real data: every span substring equals the turn's text."""
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).filter(
+        F.col("user_id") < 20
+    )
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    out = render_conversations(df, mask_roles=("click",)).collect()
+    src = {
+        (r["conv_id"], r["turn_idx"]): r["text"] or ""
+        for r in df.collect()
+    }
+    per_conv = {}
+    for (c, t), txt in sorted(src.items()):
+        per_conv.setdefault(c, []).append((t, txt))
+    roles = {(x["conv_id"], x["turn_idx"]): x["role"] for x in df.collect()}
+    assert out
+    # spans must map back to exactly the 'click' turns' texts, in order
+    for r in out:
+        texts = [
+            src[(r["conv_id"], t)]
+            for (t, _) in per_conv[r["conv_id"]]
+            if roles[(r["conv_id"], t)] == "click"
+        ]
+        got = [r["text"][s["s"] : s["e"]] for s in r["loss_spans"]]
+        assert got == texts, r["conv_id"]
+
+
+def test_render_partition_invariance(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).filter(
+        F.col("user_id") < 10
+    )
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    a = {
+        r["conv_id"]: (r["text"], [(s["s"], s["e"]) for s in r["loss_spans"]])
+        for r in render_conversations(df.repartition(1), mask_roles=("view",)).collect()
+    }
+    b = {
+        r["conv_id"]: (r["text"], [(s["s"], s["e"]) for s in r["loss_spans"]])
+        for r in render_conversations(df.repartition(16), mask_roles=("view",)).collect()
+    }
+    assert a == b
