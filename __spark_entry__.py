@@ -1444,6 +1444,25 @@ def sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transcripts.conversation_stats: per-conversation
+    structural quality signals (role alternation, empty-turn fraction,
+    turn-length stats) — the transcript-native analog of the document
+    quality filters. Events stand in as conversations (same mapping as
+    sft_render_spans). One groupBy shuffle + codegen arrays; oracle
+    rebuilds every signal with DuckDB list functions."""
+    from datachain_spark.operators.transcripts import conversation_stats
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return conversation_stats(df).orderBy("conv_id")
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1769,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bucket_counts": ccnet_bucket_counts,
         "bpe_train_merges": bpe_train_merges,
         "sft_render_spans": sft_render_spans,
+        "conversation_quality": conversation_quality,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2699,6 +2719,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
         """,
         "bpe_train_merges": _bpe_oracle(5),
+        "conversation_quality": r"""
+            -- same turn sort + per-conv signals via list functions;
+            -- integer/integer division is DOUBLE in both engines and both
+            -- round to 6
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+                     event_type AS role, coalesce(props, '') AS txt
+              FROM events WHERE user_id < 60
+            ),
+            g AS (
+              SELECT conv_id,
+                     list_transform(
+                       list_sort(list(struct_pack(o := event_id, role := role,
+                                                  text := txt))),
+                       u -> struct_pack(role := u.role, text := u.text)) AS turns
+              FROM t GROUP BY conv_id
+            ),
+            p AS (
+              SELECT conv_id, turns,
+                     list_transform(turns, u -> u.role) AS roles,
+                     list_transform(turns, u -> CAST(len(u.text) AS BIGINT)) AS tlens
+              FROM g
+            )
+            SELECT conv_id,
+                   CAST(len(turns) AS INTEGER) AS n_turns,
+                   CAST(len(list_distinct(roles)) AS INTEGER) AS distinct_roles,
+                   roles[1] AS starts_role,
+                   (len(turns) < 2 OR len(list_filter(range(1, len(roles)),
+                        i -> roles[i] = roles[i+1])) = 0) AS role_alternates,
+                   round(CAST(len(list_filter(turns, u -> trim(u.text) = ''))
+                              AS BIGINT) / len(turns), 6) AS empty_turn_frac,
+                   round(CAST(coalesce(list_sum(tlens), 0) AS BIGINT)
+                         / len(turns), 6) AS mean_turn_chars
+            FROM p ORDER BY conv_id
+        """,
         "sft_render_spans": r"""
             -- same rendering: sort turns by event_id, '<|role|>text'
             -- pieces joined on \n, prefix-sum starts, spans = masked

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_conversations"]
+__all__ = ["render_conversations", "conversation_stats"]
 
 
 def render_conversations(
@@ -115,4 +115,70 @@ def render_conversations(
         F.size(F.col("turns")).alias("n_turns"),
         F.array_join(F.col("pieces"), sep).alias("text"),
         masked.alias("loss_spans"),
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation structural quality signals — the transcript-native
+    analog of the document quality filters (operators/text.py): SFT
+    curation drops conversations that don't alternate roles, have empty
+    turns, or are degenerate single-turn stubs. One row per conversation:
+
+    - n_turns, distinct_roles
+    - starts_role: the first turn's role (recipes require 'user'-first)
+    - role_alternates: no two CONSECUTIVE turns share a role (vacuously
+      true for a single turn)
+    - empty_turn_frac: fraction of turns whose text is NULL/whitespace
+    - mean_turn_chars: mean text length, round-6 (cross-engine stable)
+
+    Same plan as render_conversations: ONE groupBy(conv) shuffle, then
+    whole-stage-codegen array expressions; consecutive-role comparison is
+    zip_with over shifted slices (never a lambda-captured computed array —
+    see dedup.sliding_ngrams)."""
+    turn = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    g = df.groupBy(conv_col).agg(F.sort_array(F.collect_list(turn)).alias("turns"))
+    g = g.withColumn("roles", F.transform(F.col("turns"), lambda t: t["role"]))
+    g = g.withColumn(
+        "tlens",
+        F.transform(F.col("turns"), lambda t: F.length(t["text"]).cast("long")),
+    )
+    n = F.size(F.col("turns"))
+    k = n - 1
+    same_adjacent = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("roles"), 1, k),
+                F.slice(F.col("roles"), 2, k),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    empty_turns = F.size(
+        F.filter(F.col("turns"), lambda t: F.trim(t["text"]) == F.lit(""))
+    )
+    total_chars = F.aggregate(
+        F.col("tlens"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return g.select(
+        F.col(conv_col),
+        n.alias("n_turns"),
+        F.size(F.array_distinct(F.col("roles"))).alias("distinct_roles"),
+        F.element_at(F.col("roles"), 1).alias("starts_role"),
+        # slice(_, 1, 0) is an empty array, so single-turn convs pass
+        (F.when(n >= 2, same_adjacent).otherwise(F.lit(0)) == 0).alias(
+            "role_alternates"
+        ),
+        F.round(empty_turns / n, 6).alias("empty_turn_frac"),
+        F.round(total_chars / n, 6).alias("mean_turn_chars"),
     )

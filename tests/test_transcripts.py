@@ -119,3 +119,50 @@ def test_render_partition_invariance(spark):
         for r in render_conversations(df.repartition(16), mask_roles=("view",)).collect()
     }
     assert a == b
+
+
+def test_conversation_stats_closed_form(spark):
+    from datachain_spark.operators.transcripts import conversation_stats
+
+    df = _conv(
+        spark,
+        [
+            # c1: alternating, one empty turn
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "   "),
+            ("c1", 2, "user", "bye!"),
+            # c2: consecutive same-role turns
+            ("c2", 0, "user", "a"),
+            ("c2", 1, "user", "b"),
+            # c3: single turn (vacuously alternating)
+            ("c3", 0, "system", None),
+        ],
+    )
+    out = {r["conv_id"]: r for r in conversation_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["distinct_roles"], c1["starts_role"]) == (3, 2, "user")
+    assert c1["role_alternates"] is True
+    assert c1["empty_turn_frac"] == round(1 / 3, 6)
+    assert c1["mean_turn_chars"] == round((2 + 3 + 4) / 3, 6)
+    assert out["c2"]["role_alternates"] is False
+    c3 = out["c3"]
+    assert c3["role_alternates"] is True and c3["empty_turn_frac"] == 1.0
+    assert c3["mean_turn_chars"] == 0.0
+
+
+def test_conversation_stats_partition_invariance(spark):
+    from datachain_spark.operators.transcripts import conversation_stats
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).filter(
+        F.col("user_id") < 15
+    )
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(map(key, conversation_stats(df.repartition(1)).collect()))
+    b = sorted(map(key, conversation_stats(df.repartition(16)).collect()))
+    assert a == b and a
