@@ -1463,6 +1463,28 @@ def conversation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(df).orderBy("conv_id")
 
 
+def sft_expand_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transcripts.expand_sft_examples: per-turn (context,
+    target) expansion — every target-role turn becomes one training
+    example whose context is all preceding turns rendered + the target
+    turn's opening tag. Same conv mapping as sft_render_spans (target
+    role 'click'); a cross-operator pytest property proves context ==
+    rendered_text[:span.s] and target == text[s:e]. One groupBy shuffle +
+    posexplode over target indices; oracle rebuilds the slices in SQL."""
+    from datachain_spark.operators.transcripts import expand_sft_examples
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return expand_sft_examples(df, target_roles=("click",)).orderBy(
+        "conv_id", "example_idx"
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1789,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": bpe_train_merges,
         "sft_render_spans": sft_render_spans,
         "conversation_quality": conversation_quality,
+        "sft_expand_examples": sft_expand_examples,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2719,6 +2742,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dsir_score DESC, doc_id ASC LIMIT 60
         """,
         "bpe_train_merges": _bpe_oracle(5),
+        "sft_expand_examples": r"""
+            -- same turn sort + pieces; target indices = 'click' turns;
+            -- context = pieces[1..i-1] joined on \n + the target's opening
+            -- tag; flattened one row per example via unnest over the
+            -- target-index list
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+                     event_type AS role, coalesce(props, '') AS txt
+              FROM events WHERE user_id < 40
+            ),
+            g AS (
+              SELECT conv_id,
+                     list_transform(
+                       list_sort(list(struct_pack(o := event_id, role := role,
+                                                  text := txt))),
+                       u -> struct_pack(o := u.o, role := u.role,
+                                        text := u.text)) AS turns
+              FROM t GROUP BY conv_id
+            ),
+            p AS (
+              SELECT conv_id, turns,
+                     list_transform(turns,
+                       u -> '<|' || u.role || '|>' || u.text) AS pieces,
+                     list_filter(range(1, len(turns) + 1),
+                       i -> turns[i].role = 'click') AS tidx
+              FROM g
+            ),
+            f AS (
+              SELECT conv_id, turns, pieces, tidx,
+                     unnest(range(1, len(tidx) + 1)) AS ex
+              FROM p
+            )
+            SELECT conv_id,
+                   CAST(ex AS INTEGER) AS example_idx,
+                   CAST(turns[tidx[ex]].o AS INTEGER) AS turn_idx,
+                   CASE WHEN tidx[ex] = 1
+                        THEN '<|' || turns[tidx[ex]].role || '|>'
+                        ELSE array_to_string(list_slice(pieces, 1, tidx[ex] - 1),
+                                             chr(10))
+                             || chr(10) || '<|' || turns[tidx[ex]].role || '|>'
+                   END AS context,
+                   turns[tidx[ex]].text AS target
+            FROM f ORDER BY conv_id, example_idx
+        """,
         "conversation_quality": r"""
             -- same turn sort + per-conv signals via list functions;
             -- integer/integer division is DOUBLE in both engines and both

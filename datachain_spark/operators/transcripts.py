@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_conversations", "conversation_stats"]
+__all__ = ["render_conversations", "conversation_stats", "expand_sft_examples"]
 
 
 def render_conversations(
@@ -181,4 +181,66 @@ def conversation_stats(
         ),
         F.round(empty_turns / n, 6).alias("empty_turn_frac"),
         F.round(total_chars / n, 6).alias("mean_turn_chars"),
+    )
+
+
+def expand_sft_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_roles: Sequence[str] = ("assistant",),
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-turn training-example expansion: every turn whose role is in
+    `target_roles` becomes one (context, target) example — context = all
+    PRECEDING turns rendered `<|role|>text` joined on `sep` (plus the
+    target turn's opening tag, the generation prompt), target = that
+    turn's text. The other standard SFT shape next to
+    render_conversations' whole-conversation + loss-spans form: a
+    K-assistant-turn conversation yields K examples.
+
+    Plan: the same ONE groupBy(conv) shuffle, then codegen slices of the
+    materialized pieces array and ONE posexplode over the target indices —
+    output rows ∝ target turns, never turns², and no second shuffle."""
+    if not target_roles:
+        raise ValueError("target_roles must be non-empty")
+    turn = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    g = df.groupBy(conv_col).agg(F.sort_array(F.collect_list(turn)).alias("turns"))
+    g = g.withColumn(
+        "pieces",
+        F.transform(
+            F.col("turns"),
+            lambda t: F.concat(F.lit("<|"), t["role"], F.lit("|>"), t["text"]),
+        ),
+    )
+    tidx = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("turns"))),
+        lambda i: F.element_at(F.col("turns"), i)["role"].isin(*target_roles),
+    )
+    g = g.select(
+        F.col(conv_col),
+        F.col("turns"),
+        F.col("pieces"),
+        F.posexplode(tidx).alias("ex", "i"),
+    )
+    t_i = F.element_at(F.col("turns"), F.col("i"))
+    prompt_tag = F.concat(F.lit("<|"), t_i["role"], F.lit("|>"))
+    context_prev = F.array_join(
+        F.slice(F.col("pieces"), 1, F.col("i") - 1), sep
+    )
+    context = F.when(F.col("i") == 1, prompt_tag).otherwise(
+        F.concat(context_prev, F.lit(sep), prompt_tag)
+    )
+    return g.select(
+        F.col(conv_col),
+        (F.col("ex") + 1).cast("int").alias("example_idx"),
+        t_i["o"].alias(order_col),
+        context.alias("context"),
+        t_i["text"].alias("target"),
     )

@@ -166,3 +166,60 @@ def test_conversation_stats_partition_invariance(spark):
     a = sorted(map(key, conversation_stats(df.repartition(1)).collect()))
     b = sorted(map(key, conversation_stats(df.repartition(16)).collect()))
     assert a == b and a
+
+
+def test_expand_examples_closed_form(spark):
+    from datachain_spark.operators.transcripts import expand_sft_examples
+
+    df = _conv(
+        spark,
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello!"),
+            ("c1", 2, "user", "bye"),
+            ("c1", 3, "assistant", "ok"),
+            ("c2", 0, "assistant", "first"),
+        ],
+    )
+    out = expand_sft_examples(df).orderBy("conv_id", "example_idx").collect()
+    assert [(r["conv_id"], r["example_idx"], r["turn_idx"], r["target"]) for r in out] == [
+        ("c1", 1, 1, "hello!"),
+        ("c1", 2, 3, "ok"),
+        ("c2", 1, 0, "first"),
+    ]
+    assert out[0]["context"] == "<|user|>hi\n<|assistant|>"
+    assert out[1]["context"] == "<|user|>hi\n<|assistant|>hello!\n<|user|>bye\n<|assistant|>"
+    assert out[2]["context"] == "<|assistant|>"  # target turn opens the conv
+    with pytest.raises(ValueError):
+        expand_sft_examples(df, target_roles=())
+
+
+def test_expand_examples_consistent_with_render(spark):
+    """Cross-operator property on real data: example k's context equals
+    the rendered conversation text up to loss span k's start, and its
+    target is exactly text[s:e]."""
+    from datachain_spark.operators.transcripts import (
+        expand_sft_examples,
+        render_conversations,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).filter(
+        F.col("user_id") < 15
+    )
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    rend = {
+        r["conv_id"]: (r["text"], [(s["s"], s["e"]) for s in r["loss_spans"]])
+        for r in render_conversations(df, mask_roles=("view",)).collect()
+    }
+    ex = expand_sft_examples(df, target_roles=("view",)).collect()
+    assert ex
+    for r in ex:
+        text, spans = rend[r["conv_id"]]
+        s, e = spans[r["example_idx"] - 1]
+        assert r["context"] == text[:s], (r["conv_id"], r["example_idx"])
+        assert r["target"] == text[s:e]
