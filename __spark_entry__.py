@@ -1485,6 +1485,34 @@ def sft_expand_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def truncate_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transcripts.truncate_to_budget: context-window truncation
+    — per conversation keep the longest SUFFIX of turns fitting an
+    8-token budget (last turn always survives). ONE window shuffle
+    (running suffix token sum in reverse turn order) + codegen filter —
+    row-shaped, no per-group arrays, safe for unbounded conversations.
+    Oracle: the identical reverse-ordered window sum in SQL."""
+    from datachain_spark.operators.transcripts import truncate_to_budget
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    from datachain_spark.operators.text import token_count
+
+    return (
+        truncate_to_budget(df, 8)
+        .withColumn(
+            "n_tokens", token_count(F.coalesce(F.col("text"), F.lit(""))).cast("int")
+        )
+        .select("conv_id", "turn_idx", "role", "n_tokens")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1812,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render_spans": sft_render_spans,
         "conversation_quality": conversation_quality,
         "sft_expand_examples": sft_expand_examples,
+        "truncate_context_budget": truncate_context_budget,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2785,6 +2814,34 @@ def oracle_sql() -> dict[str, str]:
                    END AS context,
                    turns[tidx[ex]].text AS target
             FROM f ORDER BY conv_id, example_idx
+        """,
+        "truncate_context_budget": r"""
+            -- identical reverse-ordered running suffix token sum; the
+            -- last turn (rn = 1) always survives
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id AS INTEGER) AS turn_idx,
+                     event_type AS role, coalesce(props, '') AS txt
+              FROM events WHERE user_id < 40
+            ),
+            k AS (
+              SELECT conv_id, turn_idx, role,
+                     CAST(CASE WHEN len(trim(txt)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(txt), '\s+'))
+                          END AS BIGINT) AS n_tok
+              FROM t
+            ),
+            w AS (
+              SELECT conv_id, turn_idx, role, n_tok,
+                     sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx DESC) AS rn
+              FROM k
+            )
+            SELECT conv_id, turn_idx, role, CAST(n_tok AS INTEGER) AS n_tokens
+            FROM w WHERE sfx <= 8 OR rn = 1
+            ORDER BY conv_id, turn_idx
         """,
         "conversation_quality": r"""
             -- same turn sort + per-conv signals via list functions;

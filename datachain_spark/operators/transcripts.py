@@ -31,7 +31,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_conversations", "conversation_stats", "expand_sft_examples"]
+__all__ = [
+    "render_conversations",
+    "conversation_stats",
+    "expand_sft_examples",
+    "truncate_to_budget",
+]
 
 
 def render_conversations(
@@ -243,4 +248,54 @@ def expand_sft_examples(
         t_i["o"].alias(order_col),
         context.alias("context"),
         t_i["text"].alias("target"),
+    )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Context-window truncation: keep, per conversation, the longest
+    SUFFIX of turns whose total token count fits `max_tokens` — the
+    standard "drop oldest context first" recipe; the LAST turn always
+    survives even if it alone exceeds the budget (a training example
+    needs its target). Token counts default to whitespace tokens of
+    `text_col` (operators/text.token_count); pass `tokens_col` to use
+    precomputed counts (e.g. real tokenizer lengths from bpe_encode).
+
+    Stays row-per-turn shaped so it composes with render_conversations /
+    expand_sft_examples downstream. Plan: ONE window shuffle on conv —
+    running suffix sum over turns in reverse order, then a codegen filter;
+    no collect, no per-group arrays, so a pathological mega-conversation
+    never materializes in one task's memory (unlike the render path, this
+    is safe for unbounded conversations)."""
+    from pyspark.sql import Window
+
+    from datachain_spark.operators.text import token_count
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else token_count(F.coalesce(F.col(text_col), F.lit("")))
+    ).cast("long")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suffix = F.sum(toks).over(w)
+    is_last = F.row_number().over(
+        Window.partitionBy(conv_col).orderBy(F.col(order_col).desc())
+    ) == 1
+    return (
+        df.withColumn("__sfx", suffix)
+        .withColumn("__last", is_last)
+        .filter((F.col("__sfx") <= max_tokens) | F.col("__last"))
+        .drop("__sfx", "__last")
     )

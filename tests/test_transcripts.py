@@ -223,3 +223,50 @@ def test_expand_examples_consistent_with_render(spark):
         s, e = spans[r["example_idx"] - 1]
         assert r["context"] == text[:s], (r["conv_id"], r["example_idx"])
         assert r["target"] == text[s:e]
+
+
+def test_truncate_to_budget_closed_form(spark):
+    from datachain_spark.operators.transcripts import truncate_to_budget
+
+    df = _conv(
+        spark,
+        [
+            # token counts: 2, 3, 1, 2 (whitespace words)
+            ("c1", 0, "user", "a b"),
+            ("c1", 1, "assistant", "c d e"),
+            ("c1", 2, "user", "f"),
+            ("c1", 3, "assistant", "g h"),
+            # c2: single huge turn survives regardless
+            ("c2", 0, "user", "x " * 50),
+        ],
+    )
+    # budget 6: suffix sums from the end are 2, 3, 6, 9 -> keep last 3 turns
+    kept = truncate_to_budget(df, 6).select("conv_id", "turn_idx").collect()
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in kept)
+    assert got == [("c1", 1), ("c1", 2), ("c1", 3), ("c2", 0)]
+    # budget 1: only the last turn of each conv (c1 turn 3 = 2 tokens > 1,
+    # but the last turn always survives)
+    kept1 = truncate_to_budget(df, 1).select("conv_id", "turn_idx").collect()
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in kept1) == [
+        ("c1", 3),
+        ("c2", 0),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        truncate_to_budget(df, 0)
+
+
+def test_truncate_to_budget_tokens_col_and_compose(spark):
+    from datachain_spark.operators.transcripts import (
+        render_conversations,
+        truncate_to_budget,
+    )
+
+    df = _conv(
+        spark,
+        [("c1", 0, "user", "drop me"), ("c1", 1, "assistant", "keep")],
+    ).withColumn("n_tok", F.lit(3))
+    kept = truncate_to_budget(df, 3, tokens_col="n_tok")
+    r = render_conversations(kept).collect()[0]
+    assert r["text"] == "<|assistant|>keep"
