@@ -13,15 +13,23 @@ Plan shape: ONE groupBy(conv_id) shuffle collects each conversation's own
 turns (the same per-group state bound the CDC bucket layout and
 sequence_fingerprint already assume — a conversation fits in memory), then
 everything else is whole-stage-codegen array expressions: sort_array for
-stable turn order, transform/aggregate for prefix-sum offsets, filter for
-the masked-role spans. Zero Python, zero extra shuffles, and offsets are
-BIGINT so a pathological mega-conversation cannot overflow.
+stable turn order, a SINGLE O(n) aggregate fold for offsets + spans.
+Zero Python, zero extra shuffles, and offsets are BIGINT so a pathological
+mega-conversation cannot overflow.
 
-Every intermediate array is materialized as a real column before any
-lambda references it: a computed expression captured inside a
-higher-order-function lambda re-evaluates PER ELEMENT (see
-dedup.sliding_ngrams), so prefix sums over a captured expression would go
-quadratic in recompute, not just in adds.
+Expression-evaluation discipline (two distinct traps, both measured):
+1. An expression captured INSIDE a higher-order-function lambda
+   re-evaluates per element (see dedup.sliding_ngrams) — pass arrays as
+   HOF *arguments*, which evaluate once per row.
+2. withColumn is NOT an evaluation barrier: Catalyst collapses adjacent
+   projections, so an intermediate array column referenced from a later
+   lambda gets INLINED back and re-evaluated per element anyway. A
+   first-cut renderer here built `starts` as an O(n^2) prefix-sum column
+   and indexed it from the spans lambda — after projection collapse that
+   was O(n^3+) re-rendering work and measured ~5s for 40 conversations
+   at sf0.1. The single fold below references only the aggregation
+   output (`turns`, a real Aggregate attribute that cannot inline) and
+   runs in 0.6s on the same input.
 """
 
 from __future__ import annotations
@@ -68,57 +76,43 @@ def render_conversations(
         # — o is the (conv, turn) key so order is total and deterministic
         F.sort_array(F.collect_list(turn)).alias("turns")
     )
-    g = g.withColumn(
-        "pieces",
-        F.transform(
-            F.col("turns"),
-            lambda t: F.concat(F.lit("<|"), t["role"], F.lit("|>"), t["text"]),
-        ),
+    pieces = F.transform(
+        F.col("turns"),
+        lambda t: F.concat(F.lit("<|"), t["role"], F.lit("|>"), t["text"]),
     )
-    g = g.withColumn(
-        "taglens",
-        F.transform(
-            F.col("turns"), lambda t: (F.length(t["role"]) + F.lit(4)).cast("long")
-        ),
-    )
-    g = g.withColumn(
-        "lens", F.transform(F.col("pieces"), lambda p: F.length(p).cast("long"))
-    )
-    # starts[i] (1-based turn i): sum(lens[1..i-1]) + (i-1)*len(sep).
-    # O(n^2) adds per conversation over the materialized lens column —
-    # n = that conversation's turn count, bounded by the same assumption
-    # as the collect above.
+    # offsets + spans in ONE O(n) fold directly over the `turns` column
+    # (an HOF argument evaluates once per row; `turns` is an Aggregate
+    # output attribute, so projection collapse cannot inline anything
+    # expensive into the lambda — see module docstring)
     sep_len = F.lit(len(sep)).cast("long")
-    g = g.withColumn(
-        "starts",
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("turns"))),
-            lambda i: F.aggregate(
-                F.slice(F.col("lens"), F.lit(1), i - 1),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    init = F.struct(
+        F.lit(0).cast("long").alias("off"), empty_spans.alias("spans")
+    )
+
+    def step(acc, t):
+        tag = (F.length(t["role"]) + F.lit(4)).cast("long")
+        plen = tag + F.length(t["text"]).cast("long")
+        span = F.struct(
+            (acc["off"] + tag).alias("s"), (acc["off"] + plen).alias("e")
+        )
+        if mask_roles:
+            spans = (
+                F.when(
+                    t["role"].isin(*mask_roles), F.concat(acc["spans"], F.array(span))
+                )
+                .otherwise(acc["spans"])
+                .alias("spans")
             )
-            + (i - 1).cast("long") * sep_len,
-        ),
-    )
-    role_of = lambda i: F.element_at(F.col("turns"), i)["role"]  # noqa: E731
-    span_of = lambda i: F.struct(  # noqa: E731
-        (F.element_at(F.col("starts"), i) + F.element_at(F.col("taglens"), i)).alias("s"),
-        (F.element_at(F.col("starts"), i) + F.element_at(F.col("lens"), i)).alias("e"),
-    )
-    masked = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("turns"))),
-            lambda i: F.when(role_of(i).isin(*mask_roles), span_of(i))
-            if mask_roles
-            else F.lit(None).cast("struct<s:bigint,e:bigint>"),
-        ),
-        lambda x: x.isNotNull(),
-    )
+        else:
+            spans = acc["spans"].alias("spans")
+        return F.struct((acc["off"] + plen + sep_len).alias("off"), spans)
+
+    masked = F.aggregate(F.col("turns"), init, step, lambda acc: acc["spans"])
     return g.select(
         F.col(conv_col),
         F.size(F.col("turns")).alias("n_turns"),
-        F.array_join(F.col("pieces"), sep).alias("text"),
+        F.array_join(pieces, sep).alias("text"),
         masked.alias("loss_spans"),
     )
 

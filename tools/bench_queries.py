@@ -39,6 +39,9 @@ HEADLINE = [
     "lm_perplexity_outliers",
     "hybrid_rrf_search",
     "dedup_event_sequences",
+    # r5 closing additions (transcripts SFT family + tokenizer fit)
+    "sft_render_spans",
+    "bpe_train_merges",
 ]
 
 
