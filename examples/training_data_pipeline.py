@@ -57,3 +57,38 @@ final = Chain(clean).map(
 )
 print(f"curated + featurized: {final.count()} docs -> {work}")
 final.to_parquet(str(work / "curated"))
+
+# 6. transcripts -> SFT examples (the engine's native payload): truncate
+#    to a context budget, drop structurally bad conversations, then emit
+#    BOTH standard shapes — whole-conversation text + loss spans, and
+#    per-turn (context, target) pairs
+from datachain_spark.operators.transcripts import (
+    conversation_stats,
+    expand_sft_examples,
+    render_conversations,
+    truncate_to_budget,
+)
+
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+conv = ev.selectExpr(
+    "cast(user_id as string) conv_id",
+    "cast(event_id as int) turn_idx",
+    "event_type role",
+    "props text",
+)
+conv = truncate_to_budget(conv, max_tokens=64)
+good = conversation_stats(conv).filter(
+    (F.col("n_turns") >= 2) & (F.col("empty_turn_frac") < 0.5)
+)
+conv = conv.join(good.select("conv_id"), "conv_id", "left_semi")
+sft = render_conversations(conv, mask_roles=("click",))
+pairs = expand_sft_examples(conv, target_roles=("click",))
+print(f"SFT: {sft.count()} rendered conversations, {pairs.count()} (context, target) pairs")
+
+# 7. fit a BPE tokenizer on the curated corpus and tokenize
+from datachain_spark.operators.bpe import bpe_encode, fit_bpe
+
+merges = fit_bpe(clean, num_merges=8)
+print("BPE merges:", [(m["left_sym"], m["right_sym"]) for m in merges])
+tokenized = bpe_encode(clean, merges)
+print(f"tokenized: {tokenized.count()} docs")
