@@ -1513,6 +1513,34 @@ def truncate_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sft_echo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transcripts.echo_overlap composed after
+    expand_sft_examples: per SFT pair, the fraction of the target's
+    distinct word n-grams already present in the context (n=1 here —
+    unigram echo — so the synthetic props vocabulary produces a spread of
+    fractions). Pure codegen on top of the expand plan, zero extra
+    shuffles. Oracle replays the expansion and the normalized token-set
+    intersection in SQL."""
+    from datachain_spark.operators.transcripts import (
+        echo_overlap,
+        expand_sft_examples,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    pairs = expand_sft_examples(df, target_roles=("click",))
+    return (
+        echo_overlap(pairs, n=1)
+        .select("conv_id", "example_idx", "echo_frac")
+        .orderBy("conv_id", "example_idx")
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1841,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_quality": conversation_quality,
         "sft_expand_examples": sft_expand_examples,
         "truncate_context_budget": truncate_context_budget,
+        "sft_echo_overlap": sft_echo_overlap,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2814,6 +2843,63 @@ def oracle_sql() -> dict[str, str]:
                    END AS context,
                    turns[tidx[ex]].text AS target
             FROM f ORDER BY conv_id, example_idx
+        """,
+        "sft_echo_overlap": r"""
+            -- expand oracle's context/target + normalized distinct-token
+            -- intersection (normalize = lower/trim/collapse-whitespace,
+            -- the dedup-shingle recipe)
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+                     event_type AS role, coalesce(props, '') AS txt
+              FROM events WHERE user_id < 40
+            ),
+            g AS (
+              SELECT conv_id,
+                     list_transform(
+                       list_sort(list(struct_pack(o := event_id, role := role,
+                                                  text := txt))),
+                       u -> struct_pack(o := u.o, role := u.role,
+                                        text := u.text)) AS turns
+              FROM t GROUP BY conv_id
+            ),
+            p AS (
+              SELECT conv_id, turns,
+                     list_transform(turns,
+                       u -> '<|' || u.role || '|>' || u.text) AS pieces,
+                     list_filter(range(1, len(turns) + 1),
+                       i -> turns[i].role = 'click') AS tidx
+              FROM g
+            ),
+            f AS (
+              SELECT conv_id, turns, pieces, tidx,
+                     unnest(range(1, len(tidx) + 1)) AS ex
+              FROM p
+            ),
+            pairs AS (
+              SELECT conv_id, CAST(ex AS INTEGER) AS example_idx,
+                     CASE WHEN tidx[ex] = 1
+                          THEN '<|' || turns[tidx[ex]].role || '|>'
+                          ELSE array_to_string(list_slice(pieces, 1, tidx[ex] - 1),
+                                               chr(10))
+                               || chr(10) || '<|' || turns[tidx[ex]].role || '|>'
+                     END AS context,
+                     turns[tidx[ex]].text AS target
+              FROM f
+            ),
+            toks AS (
+              SELECT conv_id, example_idx,
+                     list_distinct(string_split(regexp_replace(trim(lower(target)),
+                                   '\s+', ' ', 'g'), ' ')) AS tgt,
+                     list_distinct(string_split(regexp_replace(trim(lower(context)),
+                                   '\s+', ' ', 'g'), ' ')) AS ctx
+              FROM pairs
+            )
+            SELECT conv_id, example_idx,
+                   CASE WHEN len(tgt) > 0
+                        THEN round(CAST(len(list_intersect(tgt, ctx)) AS BIGINT)
+                                   / len(tgt), 6)
+                        ELSE 0.0 END AS echo_frac
+            FROM toks ORDER BY conv_id, example_idx
         """,
         "truncate_context_budget": r"""
             -- identical reverse-ordered running suffix token sum; the

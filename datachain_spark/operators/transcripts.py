@@ -44,6 +44,7 @@ __all__ = [
     "conversation_stats",
     "expand_sft_examples",
     "truncate_to_budget",
+    "echo_overlap",
 ]
 
 
@@ -293,3 +294,33 @@ def truncate_to_budget(
         .filter((F.col("__sfx") <= max_tokens) | F.col("__last"))
         .drop("__sfx", "__last")
     )
+
+
+def echo_overlap(
+    df: DataFrame,
+    context_col: str = "context",
+    target_col: str = "target",
+    n: int = 3,
+    out_col: str = "echo_frac",
+) -> DataFrame:
+    """Echo/regurgitation scoring for SFT pairs: the fraction of the
+    target's distinct word n-grams that already appear in the context —
+    echo_frac 1.0 means the response is assembled entirely from context
+    n-grams (the classic copy/regurgitation failure SFT curation filters
+    out; targets shorter than n words score 0.0, nothing to copy).
+
+    Pure whole-stage codegen, ZERO shuffles: two shingle builds
+    (dedup.shingles — zip_with chains, no lambda-captured tokenization)
+    and one array_intersect per row. Composes directly after
+    expand_sft_examples; round-6 so the fraction is cross-engine exact."""
+    from datachain_spark.operators.dedup import shingles
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tgt = shingles(F.col(target_col), n=n)
+    ctx = shingles(F.col(context_col), n=n)
+    frac = F.when(
+        F.size(tgt) > 0,
+        F.round(F.size(F.array_intersect(tgt, ctx)) / F.size(tgt), 6),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, frac)

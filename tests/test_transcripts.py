@@ -270,3 +270,39 @@ def test_truncate_to_budget_tokens_col_and_compose(spark):
     kept = truncate_to_budget(df, 3, tokens_col="n_tok")
     r = render_conversations(kept).collect()[0]
     assert r["text"] == "<|assistant|>keep"
+
+
+def test_echo_overlap_closed_form(spark):
+    from datachain_spark.operators.transcripts import echo_overlap
+
+    df = spark.createDataFrame(
+        [
+            # full echo: every target 3-gram is in the context
+            ("the quick brown fox jumps", "the quick brown fox", 1.0),
+            # no overlap
+            ("alpha beta gamma delta", "one two three four", 0.0),
+            # partial: target 3-grams = {a b c, b c d, c d x}; context has
+            # the first two -> 2/3
+            ("z a b c d y", "a b c d x", round(2 / 3, 6)),
+            # short target (< n words) scores 0
+            ("whatever context", "hi", 0.0),
+        ],
+        "context: string, target: string, want: double",
+    )
+    rows = echo_overlap(df, n=3).collect()
+    for r in rows:
+        assert r["echo_frac"] == r["want"], (r["target"], r["echo_frac"], r["want"])
+
+
+def test_echo_overlap_normalization_and_validation(spark):
+    from datachain_spark.operators.transcripts import echo_overlap
+
+    # case/whitespace-insensitive (shingles normalize like dedup)
+    df = spark.createDataFrame(
+        [("THE  Quick   Brown fox", "the quick brown")], "context: string, target: string"
+    )
+    assert echo_overlap(df, n=3).collect()[0]["echo_frac"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        echo_overlap(df, n=0)
