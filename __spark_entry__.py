@@ -1541,6 +1541,21 @@ def sft_echo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.winnow_fingerprints: MOSS winnowing (Schleimer et
+    al. 2003) — per doc, the rightmost-min hash of each w=4 window of
+    word-3-gram hashes with its global gram position: the local
+    fingerprinting guarantee (any shared >= w+k-1-word run yields a
+    shared hash) that exact-hash dedup lacks. md5 hash mode so the oracle
+    recomputes every hash; ONE explode is the only data movement."""
+    from datachain_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return winnow_fingerprints(docs, k=3, w=4, hash_mode="md5").orderBy(
+        "doc_id", "pos", "fp"
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1870,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_expand_examples": sft_expand_examples,
         "truncate_context_budget": truncate_context_budget,
         "sft_echo_overlap": sft_echo_overlap,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2843,6 +2859,45 @@ def oracle_sql() -> dict[str, str]:
                    END AS context,
                    turns[tidx[ex]].text AS target
             FROM f ORDER BY conv_id, example_idx
+        """,
+        "winnow_fingerprints_docs": r"""
+            -- same 3-gram md5 base hashes (the minhash oracle recipe),
+            -- w=4 windows, rightmost min via list_position on the
+            -- REVERSED window: j = w + 1 - reversed-position, global
+            -- pos = p + j - 1; DISTINCT collapses repeated selections
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(trim(lower(text)),
+                       '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents WHERE doc_id < 60
+            ),
+            grams AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS g
+              FROM norm
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(g, x ->
+                       CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                       % 2147483647) AS hs
+              FROM grams
+            ),
+            wins AS (
+              SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS p
+              FROM h WHERE len(hs) >= 4
+            ),
+            sel AS (
+              SELECT doc_id,
+                     CAST(p + 4 - list_position(list_reverse(hs[p:p+3]),
+                                                list_min(hs[p:p+3]))
+                          AS INTEGER) AS pos,
+                     list_min(hs[p:p+3]) AS fp
+              FROM wins
+            )
+            SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp
         """,
         "sft_echo_overlap": r"""
             -- expand oracle's context/target + normalized distinct-token

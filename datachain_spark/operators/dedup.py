@@ -803,3 +803,72 @@ def dedup_spans(
         (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
         F.col("__n").cast("long").alias("n_tokens"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    'Winnowing: Local Algorithms for Document Fingerprinting', SIGMOD —
+    the MOSS algorithm, public): hash every word k-gram, slide a window of
+    `w` consecutive hashes, and record the window minimum — RIGHTMOST
+    occurrence on ties, the paper's robust-winnowing rule — with its
+    global k-gram position. Guarantees any shared substring of
+    >= w + k - 1 words produces at least one shared (hash) fingerprint,
+    while keeping only ~2/(w+1) of all k-gram hashes — the
+    position-robust overlap primitive exact-hash dedup lacks and
+    dedup_spans' fixed-k windows don't localize.
+
+    One explode is the only data movement; all per-doc work is codegen:
+    the window minima/rightmost-argmin are zip_with chains over SHIFTED
+    SLICES of the hash array — the hash expression is re-evaluated once
+    per zip_with ARGUMENT (2w slices, O(w·n) hashing per doc, w is small),
+    never per element, and nothing references an intermediate column from
+    inside a lambda (both HOF traps documented in
+    operators/transcripts.py). Output: (id_col, pos, fp) — pos is the
+    1-based k-gram index the fingerprint hash came from.
+
+    hash_mode='md5' makes every hash bit-reproducible in DuckDB (the
+    _base_hash oracle recipe); 'xxhash64' is the fast production path."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = F.split(normalize_for_dedup(F.col(text_col)), " ")
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.when(n_grams >= 1, sliding_ngrams(toks, k, n_grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    hashes = F.transform(grams, lambda g: _base_hash(g, hash_mode))
+    n_win = F.size(hashes) - (w - 1)
+
+    # per-window rightmost argmin as a zip_with chain: state struct
+    # (h = current min, j = its 1-based offset in the window); `<=` makes
+    # a later equal hash win the tie — the rightmost rule
+    best = F.transform(
+        F.slice(hashes, 1, n_win),
+        lambda h: F.struct(h.alias("h"), F.lit(1).alias("j")),
+    )
+    def _take_if_leq(j: int):
+        # closure (not a default arg: pyspark reads the lambda's arity)
+        return lambda b, x: F.when(
+            x <= b["h"], F.struct(x.alias("h"), F.lit(j).alias("j"))
+        ).otherwise(b)
+
+    for j in range(2, w + 1):
+        best = F.zip_with(best, F.slice(hashes, j, n_win), _take_if_leq(j))
+    # global position = window start (0-based element index) + offset
+    fps = F.transform(
+        best,
+        lambda b, i: F.struct((i + b["j"]).alias("pos"), b["h"].alias("fp")),
+    )
+    sel = F.when(n_win >= 1, F.array_distinct(fps)).otherwise(
+        F.array().cast("array<struct<pos:int,fp:long>>")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sel).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )

@@ -727,3 +727,72 @@ def test_semantic_dedup_greedy_keep_farthest(spark):
     out2 = semantic_dedup(df.unionByName(copies), [[1.0, 0.0], [0.0, 1.0]], eps=0.95)
     kept2 = {r["vec_id"] for r in out2.collect() if r["kept"] == 1}
     assert kept2 == {2, 3, 5}  # every +100 copy ties its original and loses
+
+
+# ---------- winnowing fingerprints (Schleimer et al. 2003) ----------
+def _winnow_py(text: str, k: int, w: int) -> set:
+    """Pure-python reference: md5-mode hashes, rightmost-min windows."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    M = (1 << 31) - 1
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % M for g in grams]
+    out = set()
+    for p in range(len(hs) - w + 1):
+        win = hs[p : p + w]
+        m = min(win)
+        j = max(i for i, h in enumerate(win) if h == m)  # rightmost
+        out.add((p + j + 1, m))  # 1-based gram position
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    from datachain_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "a b c d e f g h"),
+        (2, "x y z a b c d e f g"),
+        (3, "q q q q q q"),  # identical grams: rightmost-min tie rule
+        (4, "one two"),  # fewer than k tokens -> no grams
+        (5, "a b c d"),  # grams (k=3): 2 < w -> no full window
+    ]
+    df = spark.createDataFrame(texts, "doc_id: int, text: string")
+    got = winnow_fingerprints(df, k=3, w=4, hash_mode="md5").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts:
+        assert by_doc.get(doc_id, set()) == _winnow_py(text, 3, 4), doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared run of >= w + k - 1 words must yield a shared hash."""
+    from datachain_spark.operators.dedup import winnow_fingerprints
+
+    common = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "alpha " + common + " beta"), (2, "gamma delta " + common)],
+        "doc_id: int, text: string",
+    )
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    f2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    assert f1 & f2, "winnowing guarantee violated"
+
+
+def test_winnow_validation_and_invariance(spark):
+    import pytest as _pytest
+
+    from datachain_spark.operators.dedup import winnow_fingerprints
+
+    import os
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).limit(50)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+    a = sorted(map(tuple, winnow_fingerprints(docs.repartition(1), hash_mode="md5").collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs.repartition(8), hash_mode="md5").collect()))
+    assert a == b and a
