@@ -1556,6 +1556,35 @@ def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing composed into pair detection: self-join the fingerprint
+    table on the HASH (an equi-join on a ~2/(w+1)-sampled key — never
+    all-pairs; the same inverted-index shape as ngram_jaccard) and count
+    shared fingerprints per doc pair. Planted copies (doc_id+100000 with
+    a prefix word) guarantee non-trivial overlaps; threshold >= 2 drops
+    chance single-hash collisions."""
+    from datachain_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("prefix "), F.col("text")).alias("text"),
+    )
+    fps = winnow_fingerprints(docs.unionByName(planted), k=3, w=4, hash_mode="md5")
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Unrolled DuckDB twin of fit_bpe: per step, pair counts -> argmax
     (count desc, l, r) -> greedy merge. The greedy merge is expressed as:
@@ -1886,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_context_budget": truncate_context_budget,
         "sft_echo_overlap": sft_echo_overlap,
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "winnow_overlap_pairs": winnow_overlap_pairs,
         "zorder_pruned_scan": zorder_pruned_scan,
         "cdc_read_changes": cdc_read_changes,
         "cdc_stream_changes": cdc_stream_changes,
@@ -2898,6 +2928,50 @@ def oracle_sql() -> dict[str, str]:
               FROM wins
             )
             SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp
+        """,
+        "winnow_overlap_pairs": r"""
+            -- winnow oracle over docs + planted prefix-shifted copies,
+            -- then the same hash equi-join pair count
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, 'prefix ' || text AS text
+              FROM documents WHERE doc_id < 40 AND doc_id % 4 = 0
+            ),
+            norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(trim(lower(text)),
+                       '\s+', ' ', 'g'), ' ') AS toks
+              FROM base
+            ),
+            grams AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS g
+              FROM norm
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(g, x ->
+                       CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                       % 2147483647) AS hs
+              FROM grams
+            ),
+            wins AS (
+              SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS p
+              FROM h WHERE len(hs) >= 4
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, list_min(hs[p:p+3]) AS fp
+              FROM wins
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(DISTINCT a.fp) AS BIGINT) AS shared_fps
+            FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(DISTINCT a.fp) >= 2
+            ORDER BY id_a, id_b
         """,
         "sft_echo_overlap": r"""
             -- expand oracle's context/target + normalized distinct-token
