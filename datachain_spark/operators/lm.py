@@ -126,19 +126,21 @@ def lm_logprob(
     n = F.size(toks)
     empty_s = F.array().cast("array<string>")
     # position-aligned (prev, cur) pairs: [(NULL, w0), (w0, w1), ...].
-    # zip_with evaluates its array args once per ROW (never capture an
-    # outer expression inside a transform lambda — see sliding_ngrams).
+    # arrays_zip (a codegen'd collection expression) rather than zip_with
+    # (higher-order functions are CodegenFallback — interpreted per
+    # element); the cast renames the zip's positional fields.
     prev_full = F.concat(
         F.array(F.lit(None).cast("string")),
         F.when(n >= 2, F.slice(toks, 1, n - F.lit(1))).otherwise(empty_s),
     )
-    # zip_with pads the SHORTER array with nulls, so a zero-token doc
+    # arrays_zip pads the SHORTER array with nulls, so a zero-token doc
     # would yield one (null, null) pair from prev_full's leading NULL —
     # guard to an empty array so explode drops the doc entirely
-    pairs = F.when(
-        n >= 1,
-        F.zip_with(prev_full, toks, lambda p, c: F.struct(p.alias("p"), c.alias("c"))),
-    ).otherwise(F.array().cast("array<struct<p:string,c:string>>"))
+    pairs = (
+        F.when(n >= 1, F.arrays_zip(prev_full, toks))
+        .otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+        .cast("array<struct<p:string,c:string>>")
+    )
 
     keep = [F.col(c) for c in keep_cols]
     ex = docs.select(F.col(id_col), *keep, F.explode(pairs).alias("pc")).select(
@@ -148,29 +150,43 @@ def lm_logprob(
         F.col("pc.c").alias("__c"),
     )
 
-    maybe_b = F.broadcast if broadcast_lm else (lambda df: df)
-    bi = maybe_b(lm.bi.select(F.col("bg"), F.col("c").alias("__cbi")))
-    up = maybe_b(lm.uni.select(F.col("w").alias("__pw"), F.col("c").alias("__cp")))
-    uc = maybe_b(lm.uni.select(F.col("w").alias("__cw"), F.col("c").alias("__cc")))
-
-    j = (
-        ex.join(
-            bi,
-            bi["bg"] == F.concat(F.col("__p"), F.lit(" "), F.col("__c")),
-            "left",
-        )
-        .join(up, F.col("__pw") == F.col("__p"), "left")
-        .join(uc, F.col("__cw") == F.col("__c"), "left")
-    )
+    # Per-row work is only hash probes + a CASE: the ln() arithmetic is
+    # precomputed on the vocab-sized tables (two tiny plan-time joins/
+    # projections over the cached counts), not per corpus token. Same
+    # double arithmetic on the same integer counts — value-identical:
+    #   bi2:  bg -> ln(c(bg)/c(prev))      (bigram branch, joined on bg)
+    #   uc2:  w  -> ln((c(w)+1)/(T+V)), ln(alpha*(c(w)+1)/(T+V))
+    # OOV (cur not in uni) falls to the c=0 constants, constant-folded by
+    # the JVM exactly as the previous per-row expression did.
     tv = F.lit(lm.total + lm.vocab)
-    smoothed = (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(1.0)) / tv
-    term = (
-        F.when(
-            F.col("__cbi").isNotNull(),
-            F.log(F.col("__cbi").cast("double") / F.col("__cp")),
+    maybe_b = F.broadcast if broadcast_lm else (lambda df: df)
+    first_w = F.split(F.col("bg"), " ", 2)[0]
+    bi2 = maybe_b(
+        lm.bi.select(F.col("bg"), F.col("c").alias("__cbi"), first_w.alias("__w"))
+        .join(lm.uni.select(F.col("w").alias("__w"), F.col("c").alias("__cp")), "__w")
+        .select(
+            "bg", F.log(F.col("__cbi").cast("double") / F.col("__cp")).alias("__lpbi")
         )
-        .when(F.col("__p").isNull(), F.log(smoothed))
-        .otherwise(F.log(F.lit(alpha) * (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(1.0)) / tv))
+    )
+    uc2 = maybe_b(
+        lm.uni.select(
+            F.col("w").alias("__cw"),
+            F.log((F.col("c") + F.lit(1.0)) / tv).alias("__lpsm"),
+            F.log(F.lit(alpha) * (F.col("c") + F.lit(1.0)) / tv).alias("__lpbk"),
+        )
+    )
+    lp_sm0 = F.log((F.lit(0) + F.lit(1.0)) / tv)
+    lp_bk0 = F.log(F.lit(alpha) * (F.lit(0) + F.lit(1.0)) / tv)
+
+    j = ex.join(
+        bi2,
+        bi2["bg"] == F.concat(F.col("__p"), F.lit(" "), F.col("__c")),
+        "left",
+    ).join(uc2, F.col("__cw") == F.col("__c"), "left")
+    term = (
+        F.when(F.col("__lpbi").isNotNull(), F.col("__lpbi"))
+        .when(F.col("__p").isNull(), F.coalesce(F.col("__lpsm"), lp_sm0))
+        .otherwise(F.coalesce(F.col("__lpbk"), lp_bk0))
     )
     return j.groupBy(id_col, *keep_cols).agg(
         F.round(F.sum(term) / F.count(F.lit(1)), 6).alias(out_col)
@@ -240,8 +256,14 @@ def ccnet_buckets(
     ).persist()
     # best-first fractions -> logprob-axis percentiles (higher lp = better)
     fr = F.array(F.lit(1.0 - head), F.lit(1.0 - tail))
-    cuts = scored.agg(F.percentile("lm_logprob", fr).alias("c")).collect()[0]["c"]
-    c_head, c_tail = float(cuts[0]), float(cuts[1])
+    try:
+        cuts = scored.agg(F.percentile("lm_logprob", fr).alias("c")).collect()[0]["c"]
+        c_head, c_tail = float(cuts[0]), float(cuts[1])
+    finally:
+        # the cache existed for the percentile collect; the returned plan
+        # can recompute (r5 ADVICE: don't leak cached partitions across
+        # repeated calls in a long-lived session)
+        scored.unpersist()
     bucket = (
         F.when(F.col("lm_logprob") >= F.lit(c_head), F.lit("head"))
         .when(F.col("lm_logprob") >= F.lit(c_tail), F.lit("middle"))

@@ -142,13 +142,58 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Convenience one-shot: index + norms + search over a DataFrame.
-    Scans the text twice (norms pass + index pass) — fine ad hoc; for
-    repeated queries build the index once with build_text_index /
-    save_text_index and call bm25_search."""
+    """Convenience one-shot: norms + pruned postings + search over a
+    DataFrame. For repeated queries build the index once with
+    build_text_index / save_text_index and call bm25_search.
+
+    Unlike the saved-index path this one KNOWS the query terms before the
+    index exists, so it builds postings for the query's terms only: the
+    token array is pruned to query terms before the explode (dl is still
+    the full token count), which shrinks the explode from corpus-token to
+    matching-token cardinality and the aggregate to O(matching docs).
+    Per-term df comes from a window over the pruned postings — one tiny
+    extra exchange instead of a second full tokenize/explode/aggregate
+    subtree (bm25_search's dfreq re-aggregation re-evaluates its input
+    subtree; on a saved index that is a pruned scan, but inline it would
+    re-tokenize the whole corpus — measured 2x this plan at 10x sf0.1).
+    Same tf/dl/df/idf integers and the same round-6 scoring arithmetic,
+    so results are value-identical to bm25_search over full postings."""
+    from pyspark.sql import Window
+
     n_docs, avgdl = corpus_norms(df, text_col)
-    postings = build_text_index(df, text_col, id_col)
-    return bm25_search(postings, n_docs, avgdl, query, k=k, k1=k1, b=b)
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = word_tokens(F.lower(F.col(text_col)))
+    hits = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("dl", F.size("_toks"))
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter(F.col("_toks"), lambda t: t.isin(*terms))).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    tfn = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        hits.withColumn("df", dfreq)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * tfn), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def rrf_fuse(

@@ -242,28 +242,43 @@ def dsir_select(
     the caller.)
 
     Scale shape: two fit passes (target is small by nature; the raw fit is
-    one bounded-cardinality aggregate), then scoring is a ZERO-shuffle
-    codegen map — λ is an O(B) literal array and the per-doc score is
-    F.aggregate over the gram array — followed by TakeOrderedAndProject
-    (never a full sort). Nothing in the plan grows with corpus size except
-    the scan. Docs with no grams (empty text) carry no evidence and are
-    excluded. n_buckets is bounded to 65536 as a plan-size guard (λ is
-    embedded in the plan; the paper uses 10k)."""
+    one bounded-cardinality aggregate), then scoring follows the
+    decide-with-small-rows pattern: explode the gram array through codegen
+    (higher-order folds are CodegenFallback — the previous F.aggregate
+    scoring evaluated md5 per gram through interpreted expression trees,
+    measured ~2x this plan), look each gram's λ up in the O(B) literal
+    array, partial-aggregate per doc map-side (one row per doc per
+    partition crosses the exchange — never the grams), TakeOrdered the
+    (id, score) pairs, and broadcast the n_keep winners back onto the raw
+    table so the output carries all raw columns without ever shuffling
+    them. Per-doc float-sum order is IDENTICAL to the sequential fold:
+    explode preserves array order and each doc's grams stay inside one
+    input partition, so the map-side partial sum accumulates in array
+    order and the final merge sees exactly one partial per doc. Docs with
+    no grams (empty text) carry no evidence and are excluded (explode
+    emits nothing for them). n_buckets is bounded to 65536 as a plan-size
+    guard (λ is embedded in the plan; the paper uses 10k)."""
     if not 1 <= n_buckets <= 65536:
         raise ValueError("n_buckets must be in [1, 65536]")
     t_counts, t_total = dsir_bucket_counts(target, text_col, n_buckets)
     r_counts, r_total = dsir_bucket_counts(raw, text_col, n_buckets)
     lam = dsir_log_ratios(t_counts, t_total, r_counts, r_total, n_buckets, alpha)
     lam_arr = F.array(*[F.lit(v) for v in lam])
-    grams = dsir_grams(F.col(text_col))
-    score = F.aggregate(
-        grams,
-        F.lit(0.0),
-        lambda acc, g: acc
-        + F.element_at(lam_arr, (dsir_bucket(g, n_buckets) + 1).cast("int")),
+    per_gram = raw.select(
+        F.col(id_col).alias("__dsir_id"),
+        F.explode(dsir_grams(F.col(text_col))).alias("__g"),
+    ).select(
+        "__dsir_id",
+        F.element_at(
+            lam_arr, (dsir_bucket(F.col("__g"), n_buckets) + 1).cast("int")
+        ).alias("__lam"),
     )
-    scored = (
-        raw.withColumn("dsir_score", F.round(score, 6))
-        .filter(F.size(grams) > 0)
+    scores = per_gram.groupBy("__dsir_id").agg(
+        F.round(F.sum("__lam"), 6).alias("dsir_score")
     )
-    return scored.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(n_keep)
+    top = scores.orderBy(F.desc("dsir_score"), F.asc("__dsir_id")).limit(n_keep)
+    return (
+        raw.join(F.broadcast(top), F.col(id_col) == F.col("__dsir_id"))
+        .drop("__dsir_id")
+        .orderBy(F.desc("dsir_score"), F.asc(id_col))
+    )

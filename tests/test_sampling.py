@@ -147,19 +147,26 @@ def test_dsir_deterministic_under_repartition(spark):
     assert a == b
 
 
-def test_dsir_scoring_is_zero_shuffle(spark):
-    """The scoring+top-k job must contain no Exchange: λ is plan literals,
-    the score is F.aggregate over the gram array, and the top-n is
-    TakeOrderedAndProject (fit aggregations run before this plan is
-    built)."""
+def test_dsir_scoring_plan_shape(spark):
+    """The scoring job is codegen explode + ONE doc-keyed hash aggregate
+    (map-side partial combine: only one row per doc per partition crosses
+    the exchange, never the grams), TakeOrderedAndProject for the top-n
+    (id, score) pairs, and a BROADCAST join attaching the n_keep winners
+    back to the raw table — the raw rows are never shuffled. No Python
+    boundary and no interpreted higher-order fold (the pre-r6 F.aggregate
+    scoring was CodegenFallback) anywhere in the plan."""
     from datachain_spark.operators.sampling import dsir_select
 
     docs = _docs(spark)
     target = docs.filter(F.col("lang") == "es")
     out = dsir_select(docs, target, 10, n_buckets=32)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "aggregate(" not in plan, plan  # no interpreted HOF fold
+    # exactly one shuffle: the bounded per-doc partial-aggregate exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_dsir_empty_docs_excluded_and_score_hand_checked(spark):
