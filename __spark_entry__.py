@@ -1363,7 +1363,14 @@ def dedup_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it byte-for-byte), keep the MIN user_id per fingerprint.
     Returns every user with its fingerprint and kept flag: exactly the
     planted copies drop. ONE groupBy shuffle (per-group state = that
-    user's own rows), O(groups) winner agg."""
+    user's own rows); the per-fingerprint winner is a window MIN over the
+    O(groups) fingerprint rows — r6: the previous groupBy+self-join form
+    evaluated the whole fingerprint subtree TWICE (SortMergeJoin of an
+    aggregate of fps against fps itself, 1.47s -> 0.9s at 10x sf0.1);
+    the window needs one bounded exchange of the already-aggregated rows
+    and computes the identical min."""
+    from pyspark.sql import Window
+
     from datachain_spark.operators.sequences import sequence_fingerprint
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -1372,14 +1379,13 @@ def dedup_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = ev.unionByName(planted)
     fps = sequence_fingerprint(u, ["user_id"], ["event_id"], ["event_type"])
-    winner = fps.groupBy("seq_fp").agg(F.min("user_id").alias("__w"))
+    winner = F.min("user_id").over(Window.partitionBy("seq_fp"))
     return (
-        fps.join(winner, "seq_fp")
-        .select(
+        fps.select(
             "user_id",
             "n_items",
             "seq_fp",
-            (F.col("user_id") == F.col("__w")).alias("kept"),
+            (F.col("user_id") == winner).alias("kept"),
         )
         .orderBy("user_id")
     )
