@@ -253,12 +253,15 @@ def apply_batch(
     ev = events.withColumn("bucket", table.bucket_expr())
     if lsn_ordered and snap.watermarks:
         # watermarks are O(num_buckets) driver-side metadata -> a literal
-        # create_map expression beats a per-batch broadcast-join (no
-        # exchange, stays inside whole-stage codegen)
-        entries = []
-        for b, lsn in snap.watermarks.items():
-            entries += [F.lit(b), F.lit(lsn)]
-        wm = F.element_at(F.create_map(*entries), F.col("bucket"))
+        # map expression beats a per-batch broadcast-join (no exchange,
+        # stays inside whole-stage codegen). Built as ONE F.expr string:
+        # the create_map(*[F.lit(..) x 2B]) form cost ~67ms of py4j round
+        # trips PER BATCH at 64 buckets (every F.lit is a JVM call); the
+        # parsed string is one call (~0.4ms) for the identical expression.
+        pairs = ",".join(
+            f"{int(b)},{int(lsn)}L" for b, lsn in sorted(snap.watermarks.items())
+        )
+        wm = F.expr(f"element_at(map({pairs}), bucket)")
         ev = ev.filter(F.col("lsn") > F.coalesce(wm, F.lit(-1)))
 
     # ---- last-writer-wins per key over lsn (fused with the write layout) ----
@@ -290,19 +293,23 @@ def apply_batch(
     # measurements), and at 10^10 scale the layout, not the executor
     # count, bounds file counts.
     n_parts = max(1, table.num_buckets * files_per_bucket)
-    combo = (
-        F.col("bucket").cast("long") * files_per_bucket
-        + F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket))
-    ).cast("int")
+    keys_sql = ",".join(f"`{c}`" for c in key_cols)
+    combo_sql = (
+        f"cast((cast(bucket as bigint) * {int(files_per_bucket)} "
+        f"+ pmod(xxhash64({keys_sql}), {int(files_per_bucket)})) as int)"
+    )
     pkeys = _perfect_partition_keys(spark, n_parts)
     if pkeys is not None:
         # partition == combo exactly (no balls-in-bins skew; see
-        # _perfect_partition_keys)
+        # _perfect_partition_keys). One parsed F.expr string: the
+        # F.array(*[F.lit(k) x n_parts]) form cost ~36ms of py4j round
+        # trips per batch at 64 partitions for the identical expression.
+        arr = ",".join(str(int(k)) for k in pkeys)
         ev = ev.withColumn(
-            "_pkey", F.element_at(F.array(*[F.lit(k) for k in pkeys]), combo + 1)
+            "_pkey", F.expr(f"element_at(array({arr}), {combo_sql} + 1)")
         )
     else:  # pragma: no cover - astronomically unlikely fallback
-        ev = ev.withColumn("_pkey", combo)
+        ev = ev.withColumn("_pkey", F.expr(combo_sql))
     ev = ev.repartition(n_parts, "_pkey")
     key_struct = F.struct(*[F.col(c) for c in key_cols])
     # window over the _pkey partition: every copy of a key shares _pkey, and

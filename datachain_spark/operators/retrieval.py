@@ -264,7 +264,7 @@ def hybrid_search(
 
     bm = bm25_topk(docs, query_text, k=n_candidates, text_col=text_col, id_col=id_col)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    bm_rk = bm.select(F.col(id_col), F.row_number().over(w).alias("rk"))
+    bm_rk = bm.select(F.col(id_col), F.row_number().over(w).alias("bm25_rk"))
 
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     sims = emb.select(
@@ -277,11 +277,30 @@ def hybrid_search(
         sims = sims.filter(F.col(id_col) != exclude_vec_id)
     cand = sims.orderBy(F.desc("sim"), F.asc(id_col)).limit(n_candidates)
     wc = Window.orderBy(F.desc("sim"), F.asc(id_col))
-    cos_rk = cand.select(F.col(id_col), F.row_number().over(wc).alias("rk"))
+    cos_rk = cand.select(F.col(id_col), F.row_number().over(wc).alias("cos_rk"))
 
-    fused = rrf_fuse([bm_rk, cos_rk], id_col=id_col, k=k, k_rrf=k_rrf)
-    return (
-        fused.join(bm_rk.withColumnRenamed("rk", "bm25_rk"), id_col, "left")
-        .join(cos_rk.withColumnRenamed("rk", "cos_rk"), id_col, "left")
-        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    # Two-list RRF as ONE full-outer join of the candidate lists. The
+    # union+groupBy rrf_fuse form referenced each ranking twice (once in
+    # the fusion, once in the rank-attach join), and Spark re-executes a
+    # referenced subtree per use — the whole BM25 tokenize/aggregate and
+    # the cosine scan each ran TWICE per execution (measured 2x this plan
+    # at 10x sf0.1). With exactly two lists the fused score is a sum of
+    # two addends, and IEEE addition of two terms is commutative, so
+    # coalesce(bm,0)+coalesce(cos,0) is bit-identical to rrf_fuse's
+    # union-order sum; n_lists is the non-null count. Each subtree is
+    # referenced exactly once.
+    contrib = lambda rk: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rk).cast("double")), F.lit(0.0)
     )
+    j = bm_rk.join(cos_rk, id_col, "full")
+    fused = j.select(
+        F.col(id_col),
+        F.round(contrib("bm25_rk") + contrib("cos_rk"), 6).alias("rrf_score"),
+        (
+            F.col("bm25_rk").isNotNull().cast("long")
+            + F.col("cos_rk").isNotNull().cast("long")
+        ).alias("n_lists"),
+        "bm25_rk",
+        "cos_rk",
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
