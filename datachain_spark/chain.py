@@ -1275,6 +1275,11 @@ class Chain:
         ev = df.withColumn("lsn", lsn).withColumn("op", op)
         if delete_col:
             ev = ev.drop(delete_col)
+        if lsn_col and lsn_col != "lsn":
+            # the source ordering column is consumed into `lsn`; leaving it
+            # in the payload would silently evolve the target schema via
+            # apply_batch's candidate-column path (r5 ADVICE)
+            ev = ev.drop(lsn_col)
         return apply_batch(
             df.sparkSession,
             table,

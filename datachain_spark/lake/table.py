@@ -432,7 +432,14 @@ class LakeTable:
         table per distinct key), and push the key equality into the scan —
         with a zorder_by compaction layout the parquet row-group stats
         prune inside the bucket too, so a one-conversation read touches a
-        handful of row groups out of 100 TB."""
+        handful of row groups out of 100 TB.
+
+        Lookups key on the FIRST key column only (the bucketing column);
+        for a composite-key table the result is every row whose first key
+        component matches — filter the remaining components on the
+        returned frame."""
+        if not values:
+            raise ValueError("read_keys needs at least one key value")
         kcol = self.snapshot().key_cols[0]
         bmap = self.buckets_for(spark, values)
         df = self.read(
@@ -534,15 +541,27 @@ class LakeTable:
         upsert/delete the appliers commit, instead of re-diffing snapshots.
 
         Built on Spark's file-streaming source over the segment layout:
-        the `job=*/batch=*/bucket=*` glob picks up exactly the appended
-        change segments as they land and NEVER the `compact=*` rewrites,
-        so compaction is invisible (same contract as read_changes). The
-        source's processed-file log gives exactly-once per segment file;
-        rows carry `_change_type` and `_lsn` (commit-version attribution
-        needs the manifest and is a batch-read concern — use read_changes
-        for audited ranges). Pre-evolution files surface later-added
-        columns as NULL via the explicit read schema, which is pinned at
-        stream START: restart the stream to pick up newer columns."""
+        the `job=*/batch=*/bucket=*` glob picks up the appended change
+        segments as they land and NEVER the `compact=*` rewrites, so
+        compaction is invisible. The source's processed-file log gives
+        exactly-once PER SEGMENT FILE; rows carry `_change_type` and
+        `_lsn` (commit-version attribution needs the manifest and is a
+        batch-read concern — use read_changes for audited ranges).
+
+        Delivery contract (r5 ADVICE): this is AT-LEAST-ONCE with possible
+        phantoms, weaker than read_changes. Because the glob bypasses the
+        manifest, a segment written by an apply attempt that crashes AFTER
+        its files land but BEFORE the manifest commit is still emitted
+        (a phantom: the recovering applier reuses the same files, so the
+        rows are usually committed eventually, but a permanently abandoned
+        attempt's rows are not), and an overwrite-retry that renames part
+        files can double-emit rows. Downstream consumers must be LWW-
+        idempotent on (key, _lsn) — the same absorption rule every reader
+        of this table already applies. For committed-only audited reads,
+        poll read_changes over committed version ranges instead.
+        Pre-evolution files surface later-added columns as NULL via the
+        explicit read schema, which is pinned at stream START: restart
+        the stream to pick up newer columns."""
         read_schema = T.StructType(list(self.snapshot().schema.fields) + META_FIELDS)
         reader = spark.readStream.schema(read_schema)
         if max_files_per_trigger:

@@ -85,6 +85,16 @@ def get_spark(
     for item in env_conf.split(";"):
         if item.strip():
             k, _, v = item.partition("=")
+            if extra_conf and k.strip() in extra_conf:
+                # env wins (it is the deployment override hatch), but an
+                # inherited variable silently beating an explicit argument
+                # is surprising — say so (r5 ADVICE)
+                import warnings
+
+                warnings.warn(
+                    f"SPARK_GRAFT_CONF overrides explicit config {k.strip()!r}",
+                    stacklevel=2,
+                )
             builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -306,3 +306,18 @@ def test_bloom_filter_cols_written_and_inherited(spark, tmp_path):
     key = "conv-" + _hl2.md5(b"7").hexdigest()
     got = [r["turn_idx"] for r in tb.read_keys(spark, [key]).collect()]
     assert got == [0]
+
+
+def test_read_keys_empty_values_raises(spark, tmp_path):
+    """read_keys([]) must raise a clear ValueError instead of running the
+    buckets job and dying on values[0] (r5 ADVICE)."""
+    import pytest
+
+    from datachain_spark.cdc.apply import KEY_COLS, transcripts_schema_v1
+    from datachain_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), transcripts_schema_v1(), key_cols=KEY_COLS, num_buckets=4
+    )
+    with pytest.raises(ValueError, match="at least one key value"):
+        t.read_keys(spark, [])

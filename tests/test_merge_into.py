@@ -124,3 +124,27 @@ def test_merge_into_validation(spark, tmp_path):
     bad.catalog_root = cat
     with pytest.raises(ValueError, match="missing key columns"):
         bad.merge_into("tgt")
+
+
+def test_merge_into_lsn_col_not_leaked_into_schema(spark, tmp_path):
+    """A non-'lsn' ordering column is consumed into the WAL order and must
+    NOT ride along as a payload column (it would silently evolve the
+    target schema via apply_batch's candidate-column path — r5 ADVICE)."""
+    cat = str(tmp_path / "cat")
+    _save_base(spark, cat)
+    src = Chain(
+        spark.createDataFrame(
+            [(2, "b2", 25.0, 100), (4, "d", 40.0, 101)],
+            "id INT, s STRING, v DOUBLE, my_order LONG",
+        )
+    )
+    src.catalog_root = cat
+    src.merge_into("tgt", lsn_col="my_order")
+    df = dc.read_dataset(spark, "tgt", catalog_root=cat).df
+    assert "my_order" not in df.columns, df.columns
+    assert _rows(spark, cat) == [
+        (1, "a", 10.0),
+        (2, "b2", 25.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
