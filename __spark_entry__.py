@@ -26,6 +26,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive scan parallelization (guide §2.5 'input skew: one
+    huge unsplittable file ... repartition immediately after the read').
+    The sf tables are single-file single-ROW-GROUP parquet, so the scan
+    plans ONE task no matter the cluster size — and every scan-stage-fused
+    per-row expression (tokenization, gram hashing, window partial
+    aggregation) serializes onto one core; a parquet byte-range split
+    cannot help because a lone row group is indivisible. When the planned
+    scan has fewer partitions than the session's parallelism,
+    hash-repartition on the row key (deterministic — never round-robin
+    from rand, per guide §2.5): a tiny shuffle of the raw rows that
+    unlocks N-way compute. At real corpus scale the input already has
+    >= cores splits and this is a NO-OP — the partitioning stays
+    input-derived, never a constant tuned to this host."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
+
+
 # --------------------------------------------------------------------------
 # flagship: CDC replay (the north-star pipeline) — deterministic feed sized
 # by scale factor, applied through the exactly-once merge engine
@@ -314,7 +334,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datachain_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -334,7 +354,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH output EQUALS brute-force all-pairs (operators/dedup.py)."""
     from datachain_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id").filter(F.col("doc_id") < 2000)
     return (
         minhash_lsh_pairs(docs, threshold=0.9, hash_mode="md5")
         .select("id_a", "id_b", "n_match")
@@ -400,7 +420,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, so the inner join loses nothing vs all-pairs."""
     from datachain_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id").filter(F.col("doc_id") < 2000)
     out = ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jaccard")
@@ -416,7 +436,7 @@ def lsh_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datachain_spark.operators.similarity import lsh_topk
 
     emb = (
-        _t(spark, sf_dir, "embeddings")
+        _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
         .filter(F.col("vec_id") < 500)
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     )
@@ -1319,7 +1339,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k set is order-deterministic in both engines."""
     from datachain_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return bm25_topk(docs, "spark window merge", k=10)
 
 
@@ -1334,7 +1354,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     first principles in SQL (same md5 bucket hash, same glibc ln)."""
     from datachain_spark.operators.sampling import dsir_select
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     target = docs.filter(F.col("lang") == "es")
     out = dsir_select(docs, target, 60, n_buckets=64)
     return out.select("doc_id", "lang", "dsir_score")
@@ -1672,8 +1692,8 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL."""
     from datachain_spark.operators.retrieval import hybrid_search
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), "vec_id")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return hybrid_search(
         docs,
@@ -1699,7 +1719,7 @@ def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic in SQL (same glibc ln, same round-6 discipline)."""
     from datachain_spark.operators.lm import fit_bigram_lm, lm_logprob
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     lm = fit_bigram_lm(docs.filter(F.col("lang") == "en"))
     scores = lm_logprob(docs, lm, keep_cols=("lang",))
     return scores.orderBy(F.col("lm_logprob").asc(), F.col("doc_id").asc()).limit(80)
