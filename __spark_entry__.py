@@ -968,7 +968,7 @@ def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datachain_spark.operators.dedup import exact_dedup
     from datachain_spark.operators.text import lang_id, quality_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     scored = lang_id(quality_features(docs))
     kept = scored.filter(
         (F.col("n_tokens") >= 20)
