@@ -1434,10 +1434,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = fit_bpe(docs, num_merges=5)
     schema = "step int, left_sym string, right_sym string, pair_count bigint"
-    return spark.createDataFrame(
-        [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in merges],
-        schema,
-    ).orderBy("step")
+    # repartition(1)+sortWithinPartitions, not orderBy: a global sort
+    # range-partitions, which runs a separate SAMPLING job plus a
+    # shuffle_partitions-wide reduce — pure scheduling overhead for a
+    # 5-row local frame (measured ~0.3s of the query's 0.54s). A single
+    # sorted partition is the identical row order.
+    return (
+        spark.createDataFrame(
+            [(m["step"], m["left_sym"], m["right_sym"], m["pair_count"]) for m in merges],
+            schema,
+        )
+        .repartition(1)
+        .sortWithinPartitions("step")
+    )
 
 
 def sft_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
