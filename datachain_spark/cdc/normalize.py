@@ -69,18 +69,37 @@ def normalize_text_expr(col):
     rows pay the Unicode regex. Measured 3.76s -> 2.15s on a 3.9e6-row
     batch at local[8] (alternatives that lost: translate+ASCII regex 2x
     worse, explicit char-class 3.8x, RE2-via-Arrow 1.5x, rlike guards 3x —
-    JVM regex scanning beats every guard except plain byte contains)."""
+    JVM regex scanning beats every guard except plain byte contains).
+
+    r6 second pass: ASCII rows WITH a double space but no control
+    whitespace still paid the match-dense `\s+` regex over the whole
+    string (one successful match + appendReplacement per single interior
+    space) to collapse what is usually one short run of plain spaces. Two
+    graded branches replace it, both exact on their guarded domain where
+    ' ' is the only whitespace char present:
+    - no triple space -> every space run has length exactly 2, so the
+      non-overlapping literal replace('  ' -> ' ') IS the collapse (a
+      codegen UTF8String.replace, no regex engine at all);
+    - else -> regexp_replace('  +') — the two-space literal prefix makes
+      the engine's Boyer-Moore scan skip over single spaces instead of
+      matching at each one, and replacements fire once per run.
+    Measured (same 3.9e6-row batch chain, interleaved): 3.94s -> 3.13s."""
     is_ascii = F.length(col) == F.octet_length(col)
-    needs_collapse = (
-        col.contains("  ")
-        | col.contains("\t")
+    has_ctrl = (
+        col.contains("\t")
         | col.contains("\n")
         | col.contains("\r")
         | col.contains("\f")
         | col.contains("\x0b")
     )
+    needs_collapse = col.contains("  ") | has_ctrl
     return (
         F.when(is_ascii & ~needs_collapse, F.trim(col))
+        .when(
+            is_ascii & ~has_ctrl & ~col.contains("   "),
+            F.trim(F.replace(col, F.lit("  "), F.lit(" "))),
+        )
+        .when(is_ascii & ~has_ctrl, F.trim(F.regexp_replace(col, r"  +", " ")))
         .when(is_ascii, F.trim(F.regexp_replace(col, r"\s+", " ")))
         .otherwise(F.trim(F.regexp_replace(col, r"(?U)\s+", " ")))
     )

@@ -129,6 +129,34 @@ def test_normalize_expr_unicode_whitespace_matches_python(spark):
     assert got == [normalize_text(s) for s in samples]
 
 
+def test_normalize_expr_space_run_branches_match_python(spark):
+    """Branch boundaries of the graded ASCII collapse paths: runs of
+    exactly 2 spaces (literal replace branch), runs of 3+ (the '  +'
+    regex branch), control whitespace mixed in (the \\s+ branch), and the
+    trim-only path — every one must equal normalize_text byte-for-byte."""
+    from datachain_spark.cdc.normalize import normalize_text, normalize_text_expr
+
+    samples = [
+        "",
+        " ",
+        "  ",
+        "   ",
+        "    ",
+        "a  b",                 # single 2-run -> replace branch
+        "a  b  c",              # multiple 2-runs, non-overlap replace
+        "a   b",                # 3-run -> '  +' branch
+        "a    b  c",            # 4-run + 2-run in one row
+        "  lead and trail   ",  # runs at the edges interact with trim
+        "tok tok  (rev 3)",     # the feed's update-row shape
+        "a  b\tc",              # double space AND control ws -> \s+ branch
+        "café  x",         # non-ASCII with 2-run -> unicode branch
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["o"] for r in df.select(normalize_text_expr(F.col("t")).alias("o")).collect()]
+    assert got == [normalize_text(s) for s in samples]
+
+
 # ---------- JDBC: lower-case table names through quoted staging ----------
 def test_jdbc_upsert_lowercase_table(spark, tmp_path):
     from datachain_spark.sources.database import DERBY_DRIVER, read_database, to_database
