@@ -160,21 +160,22 @@ def dsir_grams(text: Column) -> Column:
     from datachain_spark.operators.text import word_tokens
 
     toks = word_tokens(F.lower(text))
-    n = F.size(toks)
-    # zip_with over two shifted slices, NOT transform+element_at(toks, i):
-    # an outer expression captured inside a higher-order-function lambda is
-    # re-evaluated PER ELEMENT (the whole tokenization regex per bigram —
-    # measured 7x the cost of this form at sf0.1); zip_with's array
-    # arguments are evaluated once per ROW and the lambda touches only its
-    # own variables.
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Bigrams via ONE codegen regex pass over the space-joined token
+    # string instead of slice/slice/zip_with: higher-order functions are
+    # CodegenFallback, so the zip_with lambda ran `concat(a, ' ', b)`
+    # through interpreted expression trees per element and allocated
+    # three intermediate arrays per row — measured as the single largest
+    # increment of the scoring pass (+1.43s of 2.3s at the 10x profile
+    # replica). Tokens can never contain whitespace (word_tokens'
+    # classes exclude \s), so `array_join(toks, ' ')` is a reversible
+    # encoding and the lookahead pattern captures each overlapping
+    # `tok[i] tok[i+1]` pair while consuming one token per match —
+    # exactly the n-1 bigrams, in order, single-space-joined. Corpus-wide
+    # exact array equality with the zip_with form was verified before
+    # adopting; scoring-pass A/B: 2.34s -> 0.91s.
+    bigrams = F.regexp_extract_all(
+        F.array_join(toks, " "), F.lit(r"(?=(\S+ \S+))\S+"), 1
+    )
     return F.concat(toks, bigrams)
 
 
